@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All engine entry points accept an existing SparkSession; this module only
+centralizes the conf we want on any session we create ourselves (tests,
+bench, CLI).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONF, EngineConf
+
+
+def get_spark(
+    app_name: str = "geospatial-object-matching-spark",
+    master: str | None = None,
+    conf: EngineConf | None = None,
+) -> SparkSession:
+    conf = conf or DEFAULT_CONF
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting are load
+        # bearing at 100 TB (hot city tiles produce skewed cell keys).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(conf.shuffle_partitions))
+        # Arrow transfer for every pandas UDF / mapInPandas kernel.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(conf.arrow_batch_rows),
+        )
+        # deterministic timestamps regardless of host zone
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in conf.extra_spark_conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
