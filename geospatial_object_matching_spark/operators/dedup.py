@@ -1,0 +1,302 @@
+"""Deduplication operators over a documents table (training-data pipeline).
+
+Five families, scale-ordered:
+
+- exact:      md5(text) hash-groupBy — one shuffle, the 100-TB workhorse.
+- minhash:    shingle → minhash signature (vectorized kernel) → LSH band
+              explode → band-bucket equi-join → jaccard verify. Candidate
+              generation never compares non-colliding pairs, so the join
+              is linear in bucket occupancy (classic MinHash-LSH).
+- simhash:    64-bit simhash (vectorized) → split into 4×16-bit bands →
+              band equi-join → hamming ≤ t verify.
+- ngram jaccard: exact jaccard on character n-gram sets via an inverted-
+              index join (explode → equi-join → intersection counts).
+- embedding:  cosine near-dup pairs via bucketed join (see similarity.py).
+
+All joins are equi-joins Catalyst can shuffle/broadcast; Python appears
+only in the signature kernels (Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: representative = min id, plus dup count.
+    groupBy on md5 → map-side partial agg, single shuffle on the hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_dups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep only the representative row per duplicate class."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of character k-shingles."""
+    if len(text) < k:
+        seeds = [text]
+    else:
+        seeds = [text[i : i + k] for i in range(len(text) - k + 1)]
+    out = np.empty(len(seeds), dtype=np.uint64)
+    for i, s in enumerate(seeds):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8", "ignore")).digest()[:8], "little"
+        )
+    return np.unique(out)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, signature array<long>) via universal hashing over shingle set."""
+    a, b = _hash_params(n_hashes, seed)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _shingle_hashes(text or "", shingle_k).astype(np.int64)
+                # (h*a + b) mod p, min per hash fn
+                vals = (sh[None, :].astype(object) * a[:, None] + b[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1).astype(np.int64))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "signature": sigs}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs: equal band-slice → bucket equi-join.
+    Output (id_a, id_b, est_jaccard) with id_a < id_b, deduped."""
+    n_hashes = len(signatures.select("signature").first()[0])
+    rows_per_band = n_hashes // bands
+    banded = signatures.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(
+                                "signature", i * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("sig_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    shingle_k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit simhash over character shingles (vectorized bit voting)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                sh = _shingle_hashes(text or "", shingle_k)
+                if len(sh) == 0:
+                    out.append(0)
+                    continue
+                bits = ((sh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = bits.sum(axis=0) * 2 - len(sh)
+                sig = np.uint64(0)
+                for j in range(64):
+                    if votes[j] > 0:
+                        sig |= np.uint64(1) << np.uint64(j)
+                out.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ t via 4×16-bit band join
+    (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
+    bands = [
+        ((F.col("simhash") >> (16 * i)) & F.lit(0xFFFF)).alias(f"band_{i}")
+        for i in range(4)
+    ]
+    banded = sigs.select(id_col, "simhash", *bands)
+    exploded = banded.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("key"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "key"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "key"
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram jaccard via inverted index
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact jaccard over word n-gram sets, inverted-index join:
+    explode distinct n-grams → self-join on gram → per-pair intersection
+    count → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Pure DataFrame ops (no kernels): transform/slice build the n-grams."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    g = docs.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    exploded = g.select("id", "n_grams", F.explode("grams").alias("gram"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"), "gram"
+    )
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

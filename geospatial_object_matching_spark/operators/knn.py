@@ -1,0 +1,384 @@
+"""Exact kNN similarity join (SURVEY.md §2.3 J1/J2) — the engine's core
+custom operator, replacing the reference's driver-global KDTree/FAISS
+indexes (blocking.py:62-76, 106-118) with two distributed strategies:
+
+- **broadcast**: when the index side fits in executor memory, its
+  (id, vector) arrays are broadcast and each cands partition computes exact
+  top-k against the full matrix in a chunked numpy kernel (bounded memory:
+  running top-k merge, never a |B|×|I| materialization). This is the Spark
+  analog of "build one KDTree and query it" and is exact.
+
+- **grid**: cell-partitioned neighbor-ring expansion per the north rule.
+  Index vectors get integer grid cells (first ≤3 scaled dims, width w);
+  round r joins still-unfinished candidates to the Chebyshev shell-r cells
+  (equi-join on cell coordinates — a plain shuffled hash join Catalyst can
+  plan, AQE-skew-splittable), keeps a running top-k per candidate via a
+  rank window, and retires a candidate once its kth distance < r·w (every
+  unsearched point is ≥ r·w away — completeness proof in ``_ring_bound``).
+  Distances are JVM-side column expressions (no Python in the join loop).
+
+Both strategies return identical rows: (cand_id, index_id, rank, dist)
+with rank 1..k ordered by (dist, index_id) — the deterministic tie-break
+the oracle uses (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+from ..config import DEFAULT_CONF, EngineConf
+
+KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("cand_id", T.StringType(), False),
+        T.StructField("index_id", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+    ]
+)
+
+
+def _dist_expr(a: str, b: str):
+    """JVM-side euclidean distance between two array<double> columns —
+    whole-stage-codegen friendly, no Python."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# broadcast strategy
+# --------------------------------------------------------------------------
+
+
+def knn_join_broadcast(
+    cands: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str = "obj_id",
+    features_col: str = "features",
+    round_dists: int | None = 3,
+    index_chunk: int = 250_000,
+) -> DataFrame:
+    """Exact kNN with the index side broadcast to every task."""
+    spark = cands.sparkSession
+    idx_rows = index.select(id_col, features_col).collect()
+    idx_ids = np.array([r[0] for r in idx_rows], dtype=object)
+    idx_mat = np.array([r[1] for r in idx_rows], dtype=np.float64)
+    if idx_mat.ndim == 1:
+        idx_mat = idx_mat[:, None]
+    # tie-break order is (dist, index_id): pre-sort ids so argpartition fall
+    # -backs stay deterministic
+    bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
+    k_eff = min(k, len(idx_ids))
+
+    # argpartition selects by dist only, so equal-dist ties at the k-th
+    # boundary could keep an id the (dist, id) order would reject; a guard
+    # band of 32 extra slots is carried through every chunk merge and the
+    # final per-row (dist, id) sort picks the exact k. Breaking this needs
+    # a >32-way exact float64 tie straddling the boundary — degenerate
+    # duplicate-vector data only.
+    guard = 32
+    k_keep = min(k_eff + guard, len(idx_ids))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_i, mat_i = bc.value
+        n_idx = len(ids_i)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf[features_col]), dtype=np.float64)
+            if q.ndim == 1:
+                q = q[:, None]
+            B = len(q)
+            rows = np.arange(B)[:, None]
+            best_d = np.full((B, 0), np.inf)
+            best_ids = np.empty((B, 0), dtype=object)
+            best_pos = np.full((B, 0), -1, dtype=np.int64)
+            for s in range(0, n_idx, index_chunk):
+                chunk = mat_i[s : s + index_chunk]
+                cids = ids_i[s : s + index_chunk]
+                # (B, C) distances via the |a|²-2ab+|b|² expansion — fast
+                # (one GEMM) but loses ~1e-10 near cancellation, so it is
+                # used for candidate SELECTION only; survivors get an exact
+                # direct-difference recompute below.
+                d2 = (
+                    (q * q).sum(axis=1)[:, None]
+                    - 2.0 * q @ chunk.T
+                    + (chunk * chunk).sum(axis=1)[None, :]
+                )
+                np.maximum(d2, 0.0, out=d2)
+                d = np.sqrt(d2)
+                take = min(k_keep, d.shape[1])
+                part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                best_d = np.concatenate([best_d, d[rows, part]], axis=1)
+                best_ids = np.concatenate([best_ids, cids[part]], axis=1)
+                best_pos = np.concatenate([best_pos, part + s], axis=1)
+                if best_d.shape[1] > k_keep:
+                    keep = np.argpartition(best_d, k_keep - 1, axis=1)[:, :k_keep]
+                    best_d = best_d[rows, keep]
+                    best_ids = best_ids[rows, keep]
+                    best_pos = best_pos[rows, keep]
+            # exact distances on the selected pool: sqrt(Σ(x-y)²) matches
+            # the oracle's np.linalg.norm bit-for-bit in low dims
+            pool_vecs = mat_i[best_pos]  # (B, pool, dim)
+            diff = pool_vecs - q[:, None, :]
+            exact_d = np.sqrt(np.einsum("bpd,bpd->bp", diff, diff))
+            ids_sortable = ids_i.astype(str)
+            out_c, out_i, out_r, out_d = [], [], [], []
+            for bi in range(B):
+                order = sorted(
+                    range(exact_d.shape[1]),
+                    key=lambda j: (exact_d[bi, j], best_ids[bi, j]),
+                )
+                kth_d = exact_d[bi, order[k_eff - 1]]
+                pool_max = exact_d[bi, order[-1]]
+                cid = pdf[id_col].iloc[bi]
+                if (
+                    len(order) < n_idx
+                    and pool_max - kth_d <= 1e-9 * (1.0 + pool_max)
+                ):
+                    # tie-run (or approx-selection uncertainty) may cross
+                    # the pool boundary → exact full scan for this row.
+                    # Rare except on degenerate constant-feature data.
+                    dfull = mat_i - q[bi]
+                    dfull = np.sqrt(np.einsum("nd,nd->n", dfull, dfull))
+                    full_order = np.lexsort((ids_sortable, dfull))[:k_eff]
+                    for rank, j in enumerate(full_order, start=1):
+                        out_c.append(cid)
+                        out_i.append(ids_i[j])
+                        out_r.append(rank)
+                        dd = float(dfull[j])
+                        out_d.append(round(dd, round_dists) if round_dists else dd)
+                    continue
+                for rank, j in enumerate(order[:k_eff], start=1):
+                    out_c.append(cid)
+                    out_i.append(best_ids[bi, j])
+                    out_r.append(rank)
+                    dd = float(exact_d[bi, j])
+                    out_d.append(round(dd, round_dists) if round_dists else dd)
+            yield pd.DataFrame(
+                {"cand_id": out_c, "index_id": out_i, "rank": out_r, "dist": out_d}
+            )
+
+    return cands.select(id_col, features_col).mapInPandas(kernel, schema=KNN_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# grid strategy (neighbor-ring expansion)
+# --------------------------------------------------------------------------
+
+
+def _grid_coord_cols(df: DataFrame, features_col: str, width: float, gdims: int):
+    out = df
+    for j in range(gdims):
+        out = out.withColumn(
+            f"_g{j}",
+            F.floor(F.element_at(F.col(features_col), j + 1) / F.lit(width)).cast(
+                "long"
+            ),
+        )
+    return out
+
+
+def _shell_offsets(gdims: int, ring: int) -> list[tuple[int, ...]]:
+    rng = range(-ring, ring + 1)
+    if gdims == 1:
+        pts = [(x,) for x in rng]
+    elif gdims == 2:
+        pts = [(x, y) for x in rng for y in rng]
+    else:
+        pts = [(x, y, z) for x in rng for y in rng for z in rng]
+    return [p for p in pts if max(abs(v) for v in p) == ring]
+
+
+def knn_join_grid(
+    cands: DataFrame,
+    index: DataFrame,
+    k: int,
+    grid_width: float,
+    id_col: str = "obj_id",
+    features_col: str = "features",
+    round_dists: int | None = 3,
+    conf: EngineConf = DEFAULT_CONF,
+) -> DataFrame:
+    """Exact kNN via grid-cell neighbor-ring expansion.
+
+    Completeness invariant (_ring_bound): after searching Chebyshev shells
+    0..r, any unsearched index point differs by ≥ r+1 cells in some grid
+    dim, hence by ≥ r·width in that coordinate, hence its full-space
+    distance is ≥ r·width. A candidate whose kth-best distance is
+    strictly below r·width can therefore never improve → retired.
+    """
+    spark = cands.sparkSession
+    n_dims = len(cands.select(features_col).first()[0])
+    gdims = min(n_dims, 3)
+
+    idx_g = _grid_coord_cols(
+        index.select(F.col(id_col).alias("index_id"), F.col(features_col).alias("_fi")),
+        "_fi",
+        grid_width,
+        gdims,
+    ).persist()
+    idx_g.count()
+
+    remaining = _grid_coord_cols(
+        cands.select(F.col(id_col).alias("cand_id"), F.col(features_col).alias("_fc")),
+        "_fc",
+        grid_width,
+        gdims,
+    ).persist()
+
+    gcols = [f"_g{j}" for j in range(gdims)]
+    best: DataFrame | None = None
+    w = Window.partitionBy("cand_id").orderBy("dist", "index_id")
+
+    for r in range(conf.knn_max_rounds + 1):
+        if remaining.isEmpty():
+            break
+        shell = _shell_offsets(gdims, r)
+        offsets_df = spark.createDataFrame(
+            [tuple(int(v) for v in o) for o in shell],
+            schema=", ".join(f"_d{j} long" for j in range(gdims)),
+        )
+        probes = remaining.crossJoin(F.broadcast(offsets_df))
+        join_cond = [
+            probes[f"_g{j}"] + probes[f"_d{j}"] == idx_g[f"_g{j}"] for j in range(gdims)
+        ]
+        new_pairs = (
+            probes.join(idx_g, join_cond, "inner")
+            .select(
+                "cand_id",
+                "index_id",
+                _dist_expr("_fc", "_fi").alias("dist"),
+            )
+        )
+        round_best = (
+            new_pairs
+            if best is None
+            else best.select("cand_id", "index_id", "dist").unionByName(new_pairs)
+        )
+        round_best = (
+            round_best.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .persist()
+        )
+        round_best.count()
+        if best is not None:
+            best.unpersist()
+        best = round_best
+
+        # retire candidates: kth distance strictly below the ring bound
+        stats = best.groupBy("cand_id").agg(
+            F.count("*").alias("_n"), F.max("dist").alias("_kth")
+        )
+        done_ids = stats.filter(
+            (F.col("_n") >= F.lit(k)) & (F.col("_kth") < F.lit(float(r) * grid_width))
+        ).select("cand_id")
+        new_remaining = remaining.join(
+            done_ids, remaining["cand_id"] == done_ids["cand_id"], "left_anti"
+        ).persist()
+        new_remaining.count()
+        remaining.unpersist()
+        remaining = new_remaining
+
+    # stragglers (sparse regions): exact brute-force against the full index
+    if not remaining.isEmpty():
+        brute = knn_join_broadcast(
+            remaining.select(
+                F.col("cand_id").alias(id_col), F.col("_fc").alias(features_col)
+            ),
+            idx_g.select(
+                F.col("index_id").alias(id_col), F.col("_fi").alias(features_col)
+            ),
+            k,
+            id_col=id_col,
+            features_col=features_col,
+            round_dists=None,
+        )
+        done_pairs = best.join(
+            remaining.select("cand_id"), "cand_id", "left_anti"
+        ).select("cand_id", "index_id", "dist")
+        best = done_pairs.unionByName(
+            brute.select("cand_id", "index_id", "dist")
+        )
+    else:
+        best = best.select("cand_id", "index_id", "dist")
+
+    out = best.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if round_dists is not None:
+        out = out.withColumn("dist", F.round("dist", round_dists))
+    return out.select("cand_id", "index_id", "rank", "dist")
+
+
+def knn_join(
+    cands: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str = "obj_id",
+    features_col: str = "features",
+    strategy: str = "auto",
+    grid_width: float | None = None,
+    round_dists: int | None = 3,
+    conf: EngineConf = DEFAULT_CONF,
+) -> DataFrame:
+    """Strategy dispatch: broadcast when the index side is small enough,
+    grid-ring expansion otherwise (mirrors Catalyst's broadcast-vs-shuffle
+    join choice, but for the similarity join Catalyst can't plan)."""
+    if strategy == "auto":
+        n_index = index.count()
+        strategy = (
+            "broadcast" if n_index <= conf.broadcast_index_max_rows else "grid"
+        )
+    if strategy == "broadcast":
+        return knn_join_broadcast(
+            cands, index, k, id_col, features_col, round_dists=round_dists
+        )
+    if grid_width is None:
+        grid_width = estimate_grid_width(cands, index, k, features_col)
+    return knn_join_grid(
+        cands,
+        index,
+        k,
+        grid_width,
+        id_col,
+        features_col,
+        round_dists=round_dists,
+        conf=conf,
+    )
+
+
+def estimate_grid_width(
+    cands: DataFrame, index: DataFrame, k: int, features_col: str, sample: int = 256
+) -> float:
+    """Heuristic cell width ≈ expected kth-NN distance, from a small exact
+    sample probe (driver-side; sample × sample numpy)."""
+    c = np.array(
+        [r[0] for r in cands.select(features_col).limit(sample).collect()],
+        dtype=np.float64,
+    )
+    i = np.array(
+        [r[0] for r in index.select(features_col).limit(sample * 4).collect()],
+        dtype=np.float64,
+    )
+    if c.ndim == 1:
+        c, i = c[:, None], i[:, None]
+    d = np.sqrt(
+        np.maximum(
+            (c * c).sum(1)[:, None] - 2 * c @ i.T + (i * i).sum(1)[None, :], 0.0
+        )
+    )
+    kth = np.sort(d, axis=1)[:, min(k, d.shape[1]) - 1]
+    # scale up: the sampled index is sparser than the full one, so this
+    # over-estimates the true kth distance → wider cells → fewer rounds
+    return float(np.median(kth)) or 1.0

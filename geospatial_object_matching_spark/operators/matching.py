@@ -1,0 +1,205 @@
+"""Pairwise matching operators (SURVEY.md §2.9, §2.3 J5, §2.4 A4/A7;
+reference process_pairs.py + bkafi_with_threshold.py + classifier.py).
+
+- ``pair_features``: (cand_id, index_id) pair table → 25 ratio features via
+  two hash equi-joins against the wide property table, then pure column
+  arithmetic: ``least(1000, round(c/i, 3))`` with division-by-zero → 1000
+  (process_pairs.py:42-66 numpy-inf semantics; clip config.py:23). Catalyst
+  broadcast-joins the smaller side automatically; no UDF anywhere.
+
+- ``matched_pair_distances`` / ``percentile_thresholds``: scaled L2
+  distance of matched train pairs (scaler fit on matched cands,
+  bkafi_with_threshold.py:176-182), exact percentiles 0..0.995
+  (:20-21,131-134).
+
+- ``threshold_match`` + ``threshold_stats``: filter a kNN candidate table
+  by dist ≤ threshold and compute recall / cand_pairs_num /
+  reduction_ratio per percentile in ONE pass (a distance→max-qualifying-
+  percentile classification instead of the reference's 200 sequential
+  filter sweeps, bkafi_with_threshold.py:239-269 — same outputs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MAX_RATIO_VAL, OBJECT_PROPERTIES, THRESHOLD_PERCENTILES
+from .scaler import robust_scaler_fit, robust_scaler_transform
+
+
+def split_sides(properties: DataFrame) -> tuple[DataFrame, DataFrame]:
+    cands = properties.filter(F.col("source") == "cands").select(
+        F.col("obj_id").alias("cand_id"),
+        *[F.col(p).alias(f"c_{p}") for p in OBJECT_PROPERTIES],
+    )
+    index = properties.filter(F.col("source") == "index").select(
+        F.col("obj_id").alias("index_id"),
+        *[F.col(p).alias(f"i_{p}") for p in OBJECT_PROPERTIES],
+    )
+    return cands, index
+
+
+def ratio_expr(c, i, max_ratio: float = MAX_RATIO_VAL):
+    """min(1000, round(c/i,3)); i==0 → 1000 (numpy c/0→inf→clip;
+    0/0→nan→min(1000,nan)=1000 in the reference's python min)."""
+    return F.when(i == 0.0, F.lit(max_ratio)).otherwise(
+        F.least(F.lit(max_ratio), F.round(c / i, 3))
+    )
+
+
+def pair_features(
+    pairs: DataFrame,
+    properties: DataFrame,
+    operator: str = "division",
+) -> DataFrame:
+    """pairs(cand_id, index_id[, label]) → pair_features table.
+
+    division → ``{prop}_ratio`` columns; concatenation → ``{prop}_cand`` +
+    ``{prop}_index`` raw columns (process_pairs.py:30-40)."""
+    cands, index = split_sides(properties)
+    joined = pairs.join(cands, "cand_id").join(index, "index_id")
+    keep = [c for c in pairs.columns]
+    if operator == "division":
+        feats = [
+            ratio_expr(F.col(f"c_{p}"), F.col(f"i_{p}")).alias(f"{p}_ratio")
+            for p in OBJECT_PROPERTIES
+        ]
+    elif operator == "concatenation":
+        feats = [F.col(f"c_{p}").alias(f"{p}_cand") for p in OBJECT_PROPERTIES] + [
+            F.col(f"i_{p}").alias(f"{p}_index") for p in OBJECT_PROPERTIES
+        ]
+    else:
+        raise ValueError(f"operator {operator} is not supported")
+    return joined.select(*keep, *feats)
+
+
+def label_pairs(pairs: DataFrame) -> DataFrame:
+    """pos iff cand_id == index_id (pipelines.py:433-434)."""
+    return pairs.withColumn(
+        "label", (F.col("cand_id") == F.col("index_id")).cast("int")
+    )
+
+
+# --------------------------------------------------------------------------
+# threshold matcher
+# --------------------------------------------------------------------------
+
+
+def matched_pair_vectors(
+    properties: DataFrame, features: list[str]
+) -> tuple[DataFrame, dict]:
+    """Matched (id ∈ both sides) scaled feature pairs; scaler fit on the
+    matched cands only (bkafi_with_threshold.py:176-182)."""
+    proj = properties.select("obj_id", "source", *features)
+    cands = proj.filter(F.col("source") == "cands")
+    index = proj.filter(F.col("source") == "index")
+    matched_ids = cands.select("obj_id").intersect(index.select("obj_id"))
+    mc = cands.join(matched_ids, "obj_id")
+    mi = index.join(matched_ids, "obj_id")
+    stats = robust_scaler_fit(mc, features)
+    mc = robust_scaler_transform(mc, stats, suffix="__s")
+    mi = robust_scaler_transform(mi, stats, suffix="__s")
+    scaled = [f"{f}__s" for f in features]
+    both = mc.select(
+        "obj_id", *[F.col(c).alias(f"c_{c}") for c in scaled]
+    ).join(mi.select("obj_id", *[F.col(c).alias(f"i_{c}") for c in scaled]), "obj_id")
+    dist = F.sqrt(
+        sum(((F.col(f"c_{c}") - F.col(f"i_{c}")) ** 2 for c in scaled), F.lit(0.0))
+    )
+    return both.select("obj_id", dist.alias("dist")), stats
+
+
+def percentile_thresholds(
+    dists: DataFrame,
+    percentiles: tuple[float, ...] = THRESHOLD_PERCENTILES,
+    col: str = "dist",
+) -> dict[float, float]:
+    """Exact linear-interpolated percentiles (np.percentile semantics,
+    bkafi_with_threshold.py:131-134) in one aggregation."""
+    row = dists.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in percentiles])).alias("q")
+    ).first()
+    return {p: float(v) for p, v in zip(percentiles, row["q"])}
+
+
+def threshold_match(candidates: DataFrame, threshold: float) -> DataFrame:
+    """Match decisions at one threshold: candidate pair survives iff
+    dist <= threshold (bkafi_with_threshold.py:239-246)."""
+    return candidates.filter(F.col("dist") <= F.lit(threshold))
+
+
+def threshold_stats(
+    candidates: DataFrame,
+    thresholds: dict[float, float],
+    n_cands: int,
+    n_index: int,
+    n_intersection: int,
+) -> pd.DataFrame:
+    """recall / cand_pairs_num / reduction_ratio per percentile
+    (bkafi_with_threshold.py:257-269) in ONE distributed pass.
+
+    For each candidate row, the set of percentiles whose threshold admits
+    it is an upper range (thresholds are monotone in percentile) — so we
+    classify each row once by its distance and build per-percentile counts
+    from a cumulative histogram, instead of 200 sequential filters.
+    """
+    # sorted percentile/threshold arrays (ascending percentile)
+    ps = sorted(thresholds)
+    ts = [thresholds[p] for p in ps]
+    # bucket = number of thresholds strictly below dist = index of the
+    # smallest percentile that still admits the row
+    bucket_expr = F.aggregate(
+        F.array(*[F.lit(t) for t in ts]),
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.col("dist") > t, 1).otherwise(0),
+    )
+    hist = (
+        candidates.select(
+            bucket_expr.alias("bucket"),
+            (F.col("cand_id") == F.col("index_id")).cast("long").alias("is_pos"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("is_pos").alias("n_pos"))
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    rows = []
+    # percentile i admits rows with bucket <= i
+    cum_n = 0
+    cum_pos = 0
+    by_bucket_n = hist["n"].to_dict()
+    by_bucket_pos = hist["n_pos"].to_dict()
+    for i, p in enumerate(ps):
+        cum_n += int(by_bucket_n.get(i, 0))
+        cum_pos += int(by_bucket_pos.get(i, 0))
+        rows.append(
+            {
+                "percentile": p,
+                "recall": round(cum_pos / n_intersection, 3),
+                "cand_pairs_num": cum_n,
+                "reduction_ratio": round(1.0 - cum_n / (n_cands * n_index), 8),
+                "threshold_val": thresholds[p],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# evaluation metrics (classifier.py:165-176 via confusion counts)
+# --------------------------------------------------------------------------
+
+
+def precision_recall_f1(scored: DataFrame, pred_col: str = "pred", label_col: str = "label") -> dict:
+    row = scored.agg(
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 1)).cast("long")).alias("fn"),
+    ).first()
+    tp, fp, fn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1}

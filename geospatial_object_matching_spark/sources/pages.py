@@ -87,7 +87,10 @@ def _base_building(obj_id: str, seed: int):
     angles = np.sort(rng.uniform(0.0, 2.0 * np.pi, n_wall))
     radii = radius * rng.uniform(0.7, 1.3, n_wall)
     ring = np.stack([radii * np.cos(angles), radii * np.sin(angles)], axis=1)
-    return lat, lon, ring, height
+    # per-vertex roof elevation variation (real roofs are not flat planes;
+    # also keeps z-derived properties like num_floors non-degenerate)
+    roof_z = height + rng.uniform(-0.08, 0.08, n_wall) * height
+    return lat, lon, ring, roof_z
 
 
 def _mesh_for_source(obj_id: str, source: str, seed: int):
@@ -95,23 +98,25 @@ def _mesh_for_source(obj_id: str, source: str, seed: int):
 
     Per-source discrepancy for ``index``: scale ×(1+ε), vertex jitter,
     ring start rotation — the Hague-style two-source mismatch."""
-    lat, lon, ring, height = _base_building(obj_id, seed)
+    lat, lon, ring, roof_z = _base_building(obj_id, seed)
     if source == "index":
         rng = _entity_rng(obj_id, "index-discrepancy", seed)
         scale = 1.0 + np.clip(rng.normal(0.0, 0.02), -0.06, 0.06)
         ring = ring * scale + rng.normal(0.0, 0.05, ring.shape)
-        height = height * scale
+        roof_z = roof_z * scale
         roll = int(rng.integers(0, len(ring)))
         ring = np.roll(ring, roll, axis=0)
+        roof_z = np.roll(roof_z, roll)
     cx, cy = xy_of_lonlat(lon, lat)
     ring_g = ring + np.array([cx, cy])
     m = len(ring_g)
 
     surfaces = []
     # outward-consistent orientation (floor normal down, roof up) so the
-    # divergence-theorem volume (object_properties.py:203-215) is exact
+    # divergence-theorem volume (object_properties.py:203-215) is exact;
+    # wall-quad fan splits share edges with the roof fan → closed mesh
     floor = np.column_stack([ring_g[::-1], np.zeros(m)])
-    roof = np.column_stack([ring_g, np.full(m, height)])
+    roof = np.column_stack([ring_g, roof_z])
     surfaces.append(floor)
     surfaces.append(roof)
     for i in range(m):
@@ -120,8 +125,8 @@ def _mesh_for_source(obj_id: str, source: str, seed: int):
             [
                 [ring_g[i, 0], ring_g[i, 1], 0.0],
                 [ring_g[j, 0], ring_g[j, 1], 0.0],
-                [ring_g[j, 0], ring_g[j, 1], height],
-                [ring_g[i, 0], ring_g[i, 1], height],
+                [ring_g[j, 0], ring_g[j, 1], roof_z[j]],
+                [ring_g[i, 0], ring_g[i, 1], roof_z[i]],
             ]
         )
         surfaces.append(quad)

@@ -1,0 +1,184 @@
+"""End-to-end: pages → extract → properties → BKAFI blocking vs the
+numpy oracle (SURVEY.md §5 layer 2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_object_matching_spark.config import EngineConf
+from geospatial_object_matching_spark.operators.blocking import (
+    bkafi_feature_order,
+    bkafi_vectors,
+    centroid_blocking,
+    property_ratio_stats,
+    run_bkafi_blocking,
+)
+from geospatial_object_matching_spark.operators.extract import extract_objects
+from geospatial_object_matching_spark.operators.knn import (
+    knn_join_broadcast,
+    knn_join_grid,
+)
+from geospatial_object_matching_spark.operators.properties import compute_properties
+from geospatial_object_matching_spark.sources.pages import (
+    generate_pages_df,
+    generate_pages_pdf,
+)
+from oracle import reference_oracle as O
+
+N_ENTITIES = 80
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages_df(spark, N_ENTITIES, seed=SEED).persist()
+
+
+@pytest.fixture(scope="module")
+def objects(spark, pages):
+    return extract_objects(pages).persist()
+
+
+@pytest.fixture(scope="module")
+def properties(spark, objects):
+    return compute_properties(objects, log1p=True).persist()
+
+
+@pytest.fixture(scope="module")
+def oracle_state():
+    pdf = generate_pages_pdf(N_ENTITIES, seed=SEED)
+    od = O.object_dicts_from_pages(pdf)
+    prop_dict = O.property_dict_of(od, log1p=True)
+    return pdf, od, prop_dict
+
+
+class TestExtract:
+    def test_row_counts_and_invariant(self, pages, objects, oracle_state):
+        pdf, od, _ = oracle_state
+        n_expected = len(od["cands"]) + len(od["index"])
+        assert objects.count() == n_expected
+        # per-row invariant: byte-identical text per url
+        from geospatial_object_matching_spark.operators.extract import (
+            extract_objects as ex,
+        )
+
+        with_text = ex(pages, keep_text=True).select("url", F.col("text").alias("t"))
+        joined = with_text.join(pages.select("url", "text"), "url")
+        assert joined.filter(F.col("t") != F.col("text")).count() == 0
+
+    def test_centroids_match_oracle(self, objects, oracle_state):
+        _, od, _ = oracle_state
+        rows = objects.select(
+            "obj_id", "source", "centroid_x", "centroid_y", "centroid_z"
+        ).collect()
+        assert len(rows) > 0
+        for r in rows:
+            cen = od[r["source"]][r["obj_id"]]["centroid"]
+            assert r["centroid_x"] == pytest.approx(cen[0], rel=1e-12)
+            assert r["centroid_z"] == pytest.approx(cen[2], rel=1e-12)
+
+
+class TestProperties:
+    def test_property_values_match_oracle(self, properties, oracle_state):
+        _, _, prop_dict = oracle_state
+        pdf = properties.toPandas()
+        assert len(pdf) > 0
+        for _, row in pdf.iterrows():
+            for p in O.PROPERTY_NAMES:
+                expected = prop_dict[p][row["source"]][row["obj_id"]]
+                assert row[p] == pytest.approx(expected, rel=1e-9, abs=1e-12), (
+                    f"{p} for {row['source']}/{row['obj_id']}"
+                )
+
+    def test_ratio_stats_match_oracle(self, properties, oracle_state):
+        _, _, prop_dict = oracle_state
+        engine = property_ratio_stats(properties)
+        oracle = O.property_ratios(prop_dict)
+        assert [s["property"] for s in engine] == list(oracle.keys())
+        for s in engine:
+            assert s["mean"] == pytest.approx(oracle[s["property"]]["mean"], abs=2e-3)
+            assert s["std"] == pytest.approx(oracle[s["property"]]["std"], abs=2e-3)
+
+
+class TestBlocking:
+    @pytest.fixture(scope="class")
+    def oracle_blocking(self, oracle_state):
+        _, od, prop_dict = oracle_state
+        order = list(O.property_ratios(prop_dict).keys())
+        out = {}
+        for dim in (1, 3):
+            cands, index = O.bkafi_vectors(prop_dict, order, dim)
+            out[dim] = O.knn_join(cands, index, k=21)
+        return order, out, od
+
+    def test_feature_order(self, properties, oracle_blocking):
+        order, _, _ = oracle_blocking
+        assert bkafi_feature_order(properties) == order
+
+    def test_candidate_pairs_match_oracle(self, properties, oracle_blocking):
+        order, oracle_nn, od = oracle_blocking
+        res = run_bkafi_blocking(
+            properties, dims=[1, 3], strategy="broadcast"
+        )
+        pairs = res.candidates.toPandas()
+        for dim in (1, 3):
+            for k in (1, 5, 20):
+                engine_pairs = set(
+                    map(
+                        tuple,
+                        pairs[(pairs["bkafi_dim"] == dim) & (pairs["rank"] <= k)][
+                            ["cand_id", "index_id"]
+                        ].values,
+                    )
+                )
+                oracle_pairs = set()
+                for cid, lst in oracle_nn[dim].items():
+                    for iid, _ in lst[:k]:
+                        oracle_pairs.add((cid, iid))
+                assert engine_pairs == oracle_pairs, f"dim={dim} k={k}"
+
+        # recall parity
+        cand_ids = set(od["cands"].keys())
+        index_ids = set(od["index"].keys())
+        for dim in (1, 3):
+            for k in (1, 5, 20):
+                expected = O.blocking_recall(oracle_nn[dim], cand_ids, index_ids, k)
+                got = res.recall[
+                    (res.recall["bkafi_dim"] == dim) & (res.recall["k"] == k)
+                ]["blocking_recall"].iloc[0]
+                assert got == pytest.approx(expected, abs=1e-9), f"dim={dim} k={k}"
+
+    def test_grid_strategy_equals_broadcast(self, properties):
+        order = bkafi_feature_order(properties)
+        cands, index = bkafi_vectors(properties, order[:3])
+        cands, index = cands.persist(), index.persist()
+        b = knn_join_broadcast(cands, index, 10).toPandas()
+        conf = EngineConf(knn_max_rounds=4)
+        g = knn_join_grid(cands, index, 10, grid_width=0.5, conf=conf).toPandas()
+        key = ["cand_id", "rank"]
+        b = b.sort_values(key).reset_index(drop=True)
+        g = g.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["cand_id", "index_id", "rank"]], g[["cand_id", "index_id", "rank"]]
+        )
+        np.testing.assert_allclose(b["dist"], g["dist"], atol=1e-9)
+
+    def test_centroid_blocking_matches_oracle(self, objects, oracle_state):
+        _, od, _ = oracle_state
+        cands = {i: r["centroid"] for i, r in od["cands"].items()}
+        index = {i: r["centroid"] for i, r in od["index"].items()}
+        # raw L2 (no scaler): oracle with scale 1
+        ids = list(index.keys())
+        import numpy as np
+
+        Xi = np.array([index[i] for i in ids])
+        expected = {}
+        for cid, v in cands.items():
+            d = np.linalg.norm(Xi - np.asarray(v), axis=1)
+            order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))[:5]
+            expected[cid] = [ids[j] for j in order]
+        got = centroid_blocking(objects, k=5, strategy="broadcast").toPandas()
+        for cid, lst in expected.items():
+            sub = got[got["cand_id"] == cid].sort_values("rank")
+            assert list(sub["index_id"]) == lst
