@@ -1,0 +1,130 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Primary metric (BASELINE.json): spatial-join + match-decision throughput
+(pages/sec) through the flagship pipeline pages → extract → 25 properties
+→ BKAFI kNN blocking → threshold match decisions. Secondary: the heavy
+relational/training-data operators at the same SF.
+
+Scaling evidence (north_rule N vs 4N): ``SPARK_GRAFT_SCALING=1`` reruns
+the pipeline at local[cpus/4] and reports scaling efficiency
+(t_small/t_big / 4). tools/scaling_bench.py writes the full table to
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build_spark(cpus: int):
+    from geospatial_object_matching_spark.config import EngineConf
+    from geospatial_object_matching_spark.session import get_spark
+
+    conf = EngineConf(shuffle_partitions=max(cpus * 2, 8))
+    return get_spark("gom-bench", master=f"local[{cpus}]", conf=conf)
+
+
+def run_geo_pipeline(spark, sf_dir: str, n_entities: int) -> dict:
+    """Flagship throughput workload; returns timing + row counts."""
+    from pyspark.sql import functions as F
+
+    from geospatial_object_matching_spark.plans.pipeline import run_pipeline
+    from geospatial_object_matching_spark.sources.pages import generate_pages_df
+
+    pages = generate_pages_df(spark, n_entities, seed=42).persist()
+    n_pages = pages.count()  # materialize input outside the timed window
+
+    t0 = time.time()
+    res = run_pipeline(
+        spark, pages, bkafi_dim=3, decision_percentile=0.95, with_features=True
+    )
+    n_matches = res["matches"].count()
+    n_feat = res["pair_features"].count()
+    wall = time.time() - t0
+    pages.unpersist()
+    return {
+        "sec": round(wall, 3),
+        "n_pages": n_pages,
+        "n_matches": n_matches,
+        "n_pair_features": n_feat,
+        "pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
+def timed_count(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from geospatial_object_matching_spark.plans import entry_queries as EQ
+
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_entities = max(2000, li_rows // 10)
+
+    queries: dict[str, float] = {}
+
+    geo = run_geo_pipeline(spark, sf_dir, n_entities)
+    queries["geo_pipeline"] = geo["sec"]
+
+    for name in (
+        "group_agg",
+        "topk_window",
+        "knn_window",
+        "ratio_feature",
+        "percentile_agg",
+        "dedup_exact",
+        "minhash_dedup",
+        "cosine_topk",
+        "text_quality",
+        "tumbling_window",
+    ):
+        t, _ = timed_count(EQ.QUERIES[name](spark, sf_dir))
+        queries[name] = round(t, 3)
+
+    result = {
+        "metric": "spatial-join + match-decision throughput",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "geo": geo,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        small_cpus = max(1, cpus // 4)
+        spark_small = build_spark(small_cpus)
+        spark_small.sparkContext.setLogLevel("ERROR")
+        geo_small = run_geo_pipeline(spark_small, sf_dir, n_entities)
+        spark_small.stop()
+        eff = (geo_small["sec"] / geo["sec"]) / (cpus / small_cpus)
+        result["scaling"] = {
+            "cpus_big": cpus,
+            "cpus_small": small_cpus,
+            "sec_big": geo["sec"],
+            "sec_small": geo_small["sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

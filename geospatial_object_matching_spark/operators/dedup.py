@@ -223,7 +223,7 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with hamming(simhash) ≤ t via 4×16-bit band join
     (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
     bands = [
-        ((F.col("simhash") >> (16 * i)) & F.lit(0xFFFF)).alias(f"band_{i}")
+        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band_{i}")
         for i in range(4)
     ]
     banded = sigs.select(id_col, "simhash", *bands)

@@ -1,0 +1,896 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2),
+each as a (spark_fn, oracle_sql) pair over /root/testdata tables, plus
+rows-only geospatial pipeline queries over the synthetic pages fixture.
+
+Conventions for DuckDB value-hash parity:
+- every computed double is rounded identically on both sides;
+- every aggregate/computed column is aliased identically on both sides;
+- randomness is md5-based (identical hex in Spark and DuckDB);
+- exact percentiles: Spark ``percentile`` == DuckDB ``quantile_cont``
+  (both linear-interpolated).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import NN_PARAM
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators.extract import extract_objects
+from ..operators.knn import knn_join_broadcast
+from ..operators.matching import ratio_expr
+from ..operators.properties import compute_properties
+from ..operators.sampling import sample_ids_fraction
+from ..operators.blocking import (
+    bkafi_feature_order,
+    bkafi_vectors,
+    run_bkafi_blocking,
+)
+from ..sources.pages import generate_pages_df
+from ..streaming.incremental import events_tumbling_agg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fround(col, decimals: int):
+    """Cross-engine-stable half-up rounding: floor(x*10^d + 0.5)/10^d uses
+    only IEEE ops, so Spark and DuckDB agree bit-for-bit — unlike round(),
+    where Spark rounds the shortest decimal repr and DuckDB the binary
+    value (they split on products like 37081.645). Positive inputs only."""
+    p = float(10**decimals)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
+# ==========================================================================
+# relational operator families (TPC-H-ish tables) — full SQL oracles
+# ==========================================================================
+
+
+def q_filter_project(spark, sf_dir):
+    """P1/S1: predicate + projection pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 30) & (F.col("l_discount") < 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            _fround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+WHERE l_quantity >= 30 AND l_discount < 0.05
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """P2/J6: left-semi — customers having orders, counted per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """P7/J6: left-anti — customers with no high-value order, per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+GROUP BY c_nationkey
+"""
+
+
+def q_group_agg(spark, sf_dir):
+    """A2/A8: TPC-H Q1-shaped grouped aggregation (partial+final agg free
+    from Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            _fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_GROUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+         AS sum_disc_price,
+       floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '2024-11-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_window(spark, sf_dir):
+    """W1: per-key top-k by rank window with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", "o_totalprice")
+    )
+
+
+SQL_TOPK_WINDOW = """
+SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def q_ratio_feature(spark, sf_dir):
+    """F1/J5: the reference ratio kernel — least(1000, round(c/i,3)),
+    divide-by-zero → 1000 (process_pairs.py:42-66)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        ratio_expr(F.col("o_totalprice"), F.col("c_acctbal")).alias("price_ratio"),
+    )
+
+
+SQL_RATIO_FEATURE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN c_acctbal = 0 THEN 1000.0
+            ELSE least(1000.0, round(o_totalprice / c_acctbal, 3)) END AS price_ratio
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_percentile_agg(spark, sf_dir):
+    """A4/A9: exact linear-interpolated percentiles per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("q")
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.element_at("q", 1), 4).alias("q25"),
+        F.round(F.element_at("q", 2), 4).alias("q50"),
+        F.round(F.element_at("q", 3), 4).alias("q75"),
+    )
+
+
+SQL_PERCENTILE_AGG = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_robust_scale(spark, sf_dir):
+    """A9: RobustScaler semantics — (x - median)/IQR per group, as a
+    join of per-group exact percentiles back onto rows."""
+    s = _t(spark, sf_dir, "supplier")
+    stats = s.groupBy("s_nationkey").agg(
+        F.percentile(F.col("s_acctbal"), F.lit(0.5)).alias("med"),
+        (
+            F.percentile(F.col("s_acctbal"), F.lit(0.75))
+            - F.percentile(F.col("s_acctbal"), F.lit(0.25))
+        ).alias("iqr"),
+    )
+    j = s.join(stats, "s_nationkey")
+    scaled = (F.col("s_acctbal") - F.col("med")) / F.when(
+        F.col("iqr") == 0.0, F.lit(1.0)
+    ).otherwise(F.col("iqr"))
+    return j.select("s_suppkey", F.round(scaled, 6).alias("acctbal_scaled"))
+
+
+SQL_ROBUST_SCALE = """
+WITH stats AS (
+  SELECT s_nationkey,
+         quantile_cont(s_acctbal, 0.5) AS med,
+         quantile_cont(s_acctbal, 0.75) - quantile_cont(s_acctbal, 0.25) AS iqr
+  FROM supplier GROUP BY s_nationkey)
+SELECT s_suppkey,
+       round((s_acctbal - med) / (CASE WHEN iqr = 0 THEN 1.0 ELSE iqr END), 6)
+         AS acctbal_scaled
+FROM supplier JOIN stats USING (s_nationkey)
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    """SO1: id intersection."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("suppkey"))
+    return s.intersect(li)
+
+
+SQL_SET_INTERSECT = """
+SELECT s_suppkey AS suppkey FROM supplier
+INTERSECT
+SELECT l_suppkey AS suppkey FROM lineitem
+"""
+
+
+def q_set_except(spark, sf_dir):
+    """SO2: id difference (ids minus the big-order id set)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+SQL_SET_EXCEPT = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+"""
+
+
+def q_union_label(spark, sf_dir):
+    """SO3/P4: labeled union (pos/neg concat + label attach)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit(1).alias("label")
+    )
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", F.lit(0).alias("label")
+    )
+    return hi.unionByName(lo)
+
+
+SQL_UNION_LABEL = """
+SELECT o_orderkey, 1 AS label FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 0 AS label FROM orders WHERE o_totalprice < 50000
+"""
+
+
+def q_ratio_stats(spark, sf_dir):
+    """A3: per-group mean + stddev_pop of a ratio, sorted by std
+    (classifier.py:224-233 shape)."""
+    c = _t(spark, sf_dir, "customer")
+    navg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nat_avg"))
+    j = c.join(navg, "c_nationkey").filter(F.col("nat_avg") != 0)
+    ratio = F.col("c_acctbal") / F.col("nat_avg")
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.round(F.avg(ratio), 3).alias("ratio_mean"),
+            F.round(F.stddev_pop(ratio), 3).alias("ratio_std"),
+        )
+    )
+
+
+SQL_RATIO_STATS = """
+WITH navg AS (
+  SELECT c_nationkey, avg(c_acctbal) AS nat_avg FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey,
+       round(avg(c_acctbal / nat_avg), 3) AS ratio_mean,
+       round(stddev_pop(c_acctbal / nat_avg), 3) AS ratio_std
+FROM customer JOIN navg USING (c_nationkey)
+WHERE nat_avg <> 0
+GROUP BY c_nationkey
+"""
+
+
+def q_seed_mean_pivot(spark, sf_dir):
+    """A8: per-config mean over 'seeds' as conditional aggregation
+    (utils.py:303-346 shape; pivot via when-sums)."""
+    e = _t(spark, sf_dir, "events")
+    seed = (F.col("user_id") % 3).alias("seed")
+    base = e.select("event_type", seed, "value")
+    outs = [
+        F.round(
+            F.avg(F.when(F.col("seed") == i, F.col("value"))), 4
+        ).alias(f"avg_seed_{i}")
+        for i in range(3)
+    ]
+    return base.groupBy("event_type").agg(
+        *outs, F.round(F.avg("value"), 4).alias("avg_all")
+    )
+
+
+SQL_SEED_MEAN_PIVOT = """
+SELECT event_type,
+       round(avg(CASE WHEN user_id % 3 = 0 THEN value END), 4) AS avg_seed_0,
+       round(avg(CASE WHEN user_id % 3 = 1 THEN value END), 4) AS avg_seed_1,
+       round(avg(CASE WHEN user_id % 3 = 2 THEN value END), 4) AS avg_seed_2,
+       round(avg(value), 4) AS avg_all
+FROM events GROUP BY event_type
+"""
+
+
+def q_sampled_subset(spark, sf_dir):
+    """R2: deterministic md5-ranked fraction sample (seeded, order- and
+    partitioning-invariant)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("obj_id")
+    )
+    return sample_ids_fraction(c, "obj_id", 0.2, seed=7).select(
+        F.col("obj_id").cast("long").alias("c_custkey")
+    )
+
+
+SQL_SAMPLED_SUBSET = """
+SELECT CAST(obj_id AS BIGINT) AS c_custkey FROM (
+  SELECT CAST(c_custkey AS VARCHAR) AS obj_id,
+         row_number() OVER (ORDER BY md5('7|' || CAST(c_custkey AS VARCHAR))) AS r
+  FROM customer)
+WHERE r <= CAST(0.2 * (SELECT count(*) FROM customer) AS INT)
+"""
+
+
+def q_negative_sampling(spark, sf_dir):
+    """R1 (portable form): 2 deterministic 'negative' suppliers per
+    customer via md5 pair-ranking (small-side cross join)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select("c_custkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    pairs = c.crossJoin(s)
+    h = F.md5(
+        F.concat(
+            F.lit("5|"),
+            F.col("c_custkey").cast("string"),
+            F.lit("|"),
+            F.col("s_suppkey").cast("string"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(h)
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .select("c_custkey", "s_suppkey", "r")
+    )
+
+
+SQL_NEGATIVE_SAMPLING = """
+SELECT c_custkey, s_suppkey, r FROM (
+  SELECT c_custkey, s_suppkey,
+         row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY md5('5|' || CAST(c_custkey AS VARCHAR) || '|'
+                        || CAST(s_suppkey AS VARCHAR))) AS r
+  FROM customer, supplier WHERE c_custkey <= 50)
+WHERE r <= 2
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """R3: hash-picked row subset gets x → min(1000, 1/x)
+    (contamination_experiments.py:67-85); pick = first md5 hex char in
+    0-3 (25% rate), portable to any engine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    key = F.concat(
+        F.lit("3|"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    picked = F.substring(F.md5(key), 1, 1).isin("0", "1", "2", "3")
+    contaminated = F.when(F.col("l_quantity") == 0.0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1000.0), F.round(1.0 / F.col("l_quantity"), 6))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(picked, contaminated).otherwise(F.col("l_quantity")).alias("q_cont"),
+    )
+
+
+SQL_CONTAMINATION = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN substr(md5('3|' || CAST(l_orderkey AS VARCHAR) || '|'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3')
+            THEN CASE WHEN l_quantity = 0 THEN 0.0
+                      ELSE least(1000.0, round(1.0 / l_quantity, 6)) END
+            ELSE l_quantity END AS q_cont
+FROM lineitem
+"""
+
+
+def q_knn_window(spark, sf_dir):
+    """J1 (1-d relational analog): 3 nearest same-nation customers by
+    |acctbal difference|, ties by neighbor key — the equi-join + rank
+    window shape of the blocking kNN."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("cand"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("neighbor"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, "nk").filter(F.col("cand") != F.col("neighbor"))
+    dist = F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2)
+    w = Window.partitionBy("cand").orderBy(dist.asc(), F.col("neighbor").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cand", "neighbor", "rank", dist.alias("dist"))
+    )
+
+
+SQL_KNN_WINDOW = """
+SELECT cand, neighbor, rank, dist FROM (
+  SELECT a.c_custkey AS cand, b.c_custkey AS neighbor,
+         round(abs(a.c_acctbal - b.c_acctbal), 2) AS dist,
+         row_number() OVER (
+           PARTITION BY a.c_custkey
+           ORDER BY round(abs(a.c_acctbal - b.c_acctbal), 2) ASC,
+                    b.c_custkey ASC) AS rank
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey)
+WHERE rank <= 3
+"""
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregation (same plan under
+    readStream; batch form checked against the oracle)."""
+    e = _t(spark, sf_dir, "events")
+    return events_tumbling_agg(e, "1 day")
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT date_trunc('day', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ==========================================================================
+# documents: dedup + text analysis
+# ==========================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.dedup_exact(d)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.char_count(F.col("text")).alias("n_chars_text"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, length(text) AS n_chars_text,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TX.mean_token_len(F.col("text")), 6).alias("mean_token_len"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))
+           * 1.0 / length(text) AS pr,
+         length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mtl
+  FROM documents)
+SELECT doc_id,
+       round(pr, 6) AS punct_ratio,
+       round(mtl, 6) AS mean_token_len,
+       round(((CASE WHEN n BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END) +
+              (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END) +
+              (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0,
+             6) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_score(lang_markers):
+    parts = []
+    for m in lang_markers:
+        mm = m.replace("'", "''")
+        parts.append(
+            f"(length(padded) - length(replace(padded, '{mm}', ''))) / {len(m)}.0"
+        )
+    return " + ".join(parts)
+
+
+_L = {k: _sql_lang_score(v) for k, v in TX.LANG_MARKERS.items()}
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_L['de']} AS s_de, {_L['en']} AS s_en, {_L['es']} AS s_es,
+         {_L['fr']} AS s_fr, {_L['nl']} AS s_nl
+  FROM (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents))
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_nl) <= 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_nl) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_nl) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_nl) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_nl) THEN 'fr'
+            ELSE 'nl' END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint64(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram jaccard near-dup pairs (threshold 0.2 so the
+    synthetic word-soup corpus yields rows)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.ngram_jaccard_pairs(d, n=3, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws) - 2, 1) + 1)]) AS grams
+  FROM w),
+e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.n_grams) AS n_a, any_value(b.n_grams) AS n_b,
+         count(*) AS n_common
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+FROM inter
+WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.2
+"""
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (rows-only oracle: signature hashing
+    is engine-defined; layer-1 pytest checks its determinism + recall on
+    planted duplicates)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, n_hashes=64, shingle_k=5)
+    return DD.minhash_lsh_pairs(sigs, bands=16)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = DD.simhash_signatures(d, shingle_k=4)
+    return DD.simhash_near_dup_pairs(sigs, max_hamming=6)
+
+
+# ==========================================================================
+# embeddings: similarity search
+# ==========================================================================
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = SIM.cosine_topk(e, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_COSINE_TOPK = """
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine FROM (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         list_dot_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             DESC, b.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+  WHERE q.vec_id < 20)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.embedding_near_dup_pairs(e, threshold=0.3, bucket_col="label")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.3
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only oracle; pytest checks bucket collision
+    recall vs brute force)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = SIM.lsh_cosine_topk(e, q, k=5, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# ==========================================================================
+# geospatial pipeline (synthetic pages; rows-only oracles — the exact-
+# parity gate for these lives in tests/ against the numpy oracle)
+# ==========================================================================
+
+
+def _geo_pages(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").count()
+    n_entities = max(40, li // 100)
+    return generate_pages_df(spark, n_entities, seed=42)
+
+
+def q_geo_extract(spark, sf_dir):
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    return objects.select(
+        "obj_id",
+        "source",
+        "url",
+        "n_surfaces",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        "cell_id",
+    )
+
+
+def q_geo_properties(spark, sf_dir):
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    props = compute_properties(objects, log1p=True)
+    rounded = [F.round(p, 6).alias(p) for p in props.columns[2:]]
+    return props.select("obj_id", "source", *rounded)
+
+
+def q_geo_blocking_pairs(spark, sf_dir):
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    props = compute_properties(objects, log1p=True)
+    res = run_bkafi_blocking(props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM)
+    return res.candidates.select(
+        "bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"
+    )
+
+
+def q_geo_blocking_recall(spark, sf_dir):
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    props = compute_properties(objects, log1p=True)
+    res = run_bkafi_blocking(props, dims=[1, 3], k_list=(1, 5, 20), nn_param=NN_PARAM)
+    return spark.createDataFrame(res.recall)
+
+
+def q_geo_match_decisions(spark, sf_dir):
+    from ..plans.pipeline import run_pipeline
+
+    res = run_pipeline(
+        spark, _geo_pages(spark, sf_dir), bkafi_dim=3, with_features=False
+    )
+    return res["matches"].select("cand_id", "index_id", "rank", "dist", "label")
+
+
+def q_geo_pair_features(spark, sf_dir):
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    props = compute_properties(objects, log1p=True)
+    order = bkafi_feature_order(props)
+    cands_v, index_v = bkafi_vectors(props, order[:3])
+    nn = knn_join_broadcast(cands_v, index_v, 5)
+    from ..operators.matching import pair_features
+
+    feats = pair_features(nn.select("cand_id", "index_id"), props)
+    ratio_cols = [c for c in feats.columns if c.endswith("_ratio")]
+    return feats.select(
+        "cand_id", "index_id", *[F.round(c, 3).alias(c) for c in ratio_cols]
+    )
+
+
+def q_geo_tiles(spark, sf_dir):
+    from ..operators.tiles import footprints, tile_assignments
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    fp = footprints(objects.filter(F.col("source") == "cands"))
+    return tile_assignments(fp, zoom=18).select(
+        "obj_id", "tile_x", "tile_y", "zoom", F.round("coverage", 6).alias("coverage")
+    )
+
+
+def q_geo_pip(spark, sf_dir):
+    from ..operators.tiles import footprints, pip_join
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    fp = footprints(objects.filter(F.col("source") == "cands"))
+    pts = objects.filter(F.col("source") == "index").select(
+        F.col("obj_id").alias("point_id"), "lon", "lat"
+    )
+    return pip_join(pts, fp, zoom=18)
+
+
+def q_geo_centroid_knn(spark, sf_dir):
+    from ..operators.blocking import centroid_blocking
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    return centroid_blocking(objects, k=5, strategy="broadcast")
+
+
+# ==========================================================================
+# registry
+# ==========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_project": q_filter_project,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "group_agg": q_group_agg,
+    "topk_window": q_topk_window,
+    "ratio_feature": q_ratio_feature,
+    "percentile_agg": q_percentile_agg,
+    "robust_scale": q_robust_scale,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "union_label": q_union_label,
+    "ratio_stats": q_ratio_stats,
+    "seed_mean_pivot": q_seed_mean_pivot,
+    "sampled_subset": q_sampled_subset,
+    "negative_sampling": q_negative_sampling,
+    "contamination": q_contamination,
+    "knn_window": q_knn_window,
+    "tumbling_window": q_tumbling_window,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lsh_topk": q_lsh_topk,
+    "geo_extract": q_geo_extract,
+    "geo_properties": q_geo_properties,
+    "geo_blocking_pairs": q_geo_blocking_pairs,
+    "geo_blocking_recall": q_geo_blocking_recall,
+    "geo_match_decisions": q_geo_match_decisions,
+    "geo_pair_features": q_geo_pair_features,
+    "geo_tiles": q_geo_tiles,
+    "geo_pip": q_geo_pip,
+    "geo_centroid_knn": q_geo_centroid_knn,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "group_agg": SQL_GROUP_AGG,
+    "topk_window": SQL_TOPK_WINDOW,
+    "ratio_feature": SQL_RATIO_FEATURE,
+    "percentile_agg": SQL_PERCENTILE_AGG,
+    "robust_scale": SQL_ROBUST_SCALE,
+    "set_intersect": SQL_SET_INTERSECT,
+    "set_except": SQL_SET_EXCEPT,
+    "union_label": SQL_UNION_LABEL,
+    "ratio_stats": SQL_RATIO_STATS,
+    "seed_mean_pivot": SQL_SEED_MEAN_PIVOT,
+    "sampled_subset": SQL_SAMPLED_SUBSET,
+    "negative_sampling": SQL_NEGATIVE_SAMPLING,
+    "contamination": SQL_CONTAMINATION,
+    "knn_window": SQL_KNN_WINDOW,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # minhash_dedup / simhash_dedup / lsh_topk / geo_*: engine-defined
+    # kernels — rows-only driver check; exact parity lives in tests/.
+}

@@ -1,0 +1,165 @@
+"""Dedup + similarity operators: planted ground truth and brute-force
+oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_object_matching_spark.operators import dedup as DD
+from geospatial_object_matching_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "spark query engines shuffle data between executors during joins",
+        "geospatial entity resolution matches building meshes across sources",
+        "completely unrelated text about cooking pasta with fresh tomatoes",
+    ]
+    did = 0
+    for i, b in enumerate(base):
+        for rep in range(3):  # exact duplicates
+            rows.append((did, b, i))
+            did += 1
+        rows.append((did, b + " slightly changed tail", i))  # near-dup
+        did += 1
+    for j in range(30):  # unique noise
+        rows.append((did, f"unique document number {j} with words w{j} x{j} y{j} z{j}", 99))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, label int").persist()
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = DD.dedup_exact(docs).toPandas()
+        assert (out["dup_count"] >= 3).sum() == 4  # the 4 planted triples
+        assert out["dup_count"].sum() == docs.count()
+
+    def test_drop_dups(self, docs):
+        kept = DD.drop_exact_dups(docs).toPandas()
+        assert len(kept) == docs.select("text").distinct().count()
+        # representative is min doc_id per text
+        m = docs.groupBy("text").agg(F.min("doc_id").alias("m")).toPandas()
+        assert set(kept["doc_id"]) == set(m["m"])
+
+
+class TestMinHash:
+    def test_near_dups_found(self, docs):
+        sigs = DD.minhash_signatures(docs, n_hashes=64, shingle_k=4).persist()
+        pairs = DD.minhash_lsh_pairs(sigs, bands=16).toPandas()
+        high = pairs[pairs["est_jaccard"] >= 0.9]
+        # every exact-duplicate pair must collide with est_jaccard 1.0
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for _, p in high.iterrows():
+            pass
+        exact_pairs = {
+            (a, b)
+            for a in texts
+            for b in texts
+            if a < b and texts[a] == texts[b]
+        }
+        found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert exact_pairs <= found
+        est1 = pairs.set_index(["id_a", "id_b"])["est_jaccard"]
+        for pr in exact_pairs:
+            assert est1.loc[pr] == 1.0
+
+    def test_signature_determinism(self, docs):
+        a = DD.minhash_signatures(docs, 32, 4).toPandas().set_index("doc_id")
+        b = (
+            DD.minhash_signatures(docs.repartition(7), 32, 4)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        for did in a.index:
+            np.testing.assert_array_equal(a.loc[did, "signature"], b.loc[did, "signature"])
+
+
+class TestSimHash:
+    def test_exact_dups_zero_hamming(self, docs):
+        sigs = DD.simhash_signatures(docs, shingle_k=4).persist()
+        pairs = DD.simhash_near_dup_pairs(sigs, max_hamming=3).toPandas()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        exact_pairs = {
+            (a, b) for a in texts for b in texts if a < b and texts[a] == texts[b]
+        }
+        found = pairs.set_index(["id_a", "id_b"])["hamming"]
+        for pr in exact_pairs:
+            assert found.loc[pr] == 0
+
+
+class TestNgramJaccard:
+    def test_matches_bruteforce(self, docs):
+        out = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+        def grams(t):
+            ws = t.strip().split()
+            if len(ws) < 3:
+                return {" ".join(ws)}
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        expected = {}
+        ids = sorted(texts)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ga, gb = grams(texts[a]), grams(texts[b])
+                j = len(ga & gb) / len(ga | gb)
+                if j >= 0.3:
+                    expected[(a, b)] = j
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for _, r in out.iterrows()}
+        assert set(got) == set(expected)
+        for k in expected:
+            assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+class TestCosine:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(0, 1, (80, 16)).astype(np.float32)
+        rows = [(i, vecs[i].tolist(), int(i % 4)) for i in range(80)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        return df.persist(), vecs
+
+    def test_topk_matches_numpy(self, emb):
+        df, vecs = emb
+        out = SIM.cosine_topk(df, df.filter(F.col("vec_id") < 5), k=4).toPandas()
+        v = vecs.astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        for q in range(5):
+            cos = (v @ v[q]) / (norms * norms[q])
+            cos[q] = -np.inf
+            order = sorted(range(80), key=lambda j: (-cos[j], j))[:4]
+            sub = out[out["query_id"] == q].sort_values("rank")
+            assert list(sub["vec_id"]) == order
+            np.testing.assert_allclose(
+                sub["cosine"].to_numpy(), cos[order], atol=1e-9
+            )
+
+    def test_lsh_subset_of_bucket(self, emb):
+        df, vecs = emb
+        out = SIM.lsh_cosine_topk(
+            df, df.filter(F.col("vec_id") < 5), k=4, n_planes=4
+        ).toPandas()
+        # structural: ranks contiguous from 1, no self matches, cosine desc
+        for q, grp in out.groupby("query_id"):
+            grp = grp.sort_values("rank")
+            assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+            assert (grp["vec_id"] != q).all()
+            assert (np.diff(grp["cosine"].to_numpy()) <= 1e-12).all()
+
+    def test_near_dup_pairs(self, emb):
+        df, vecs = emb
+        out = SIM.embedding_near_dup_pairs(df, threshold=0.3, bucket_col="label").toPandas()
+        v = vecs.astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        expected = set()
+        for a in range(80):
+            for b in range(a + 1, 80):
+                if a % 4 == b % 4 and (v[a] @ v[b]) / (norms[a] * norms[b]) >= 0.3:
+                    expected.add((a, b))
+        assert set(map(tuple, out[["id_a", "id_b"]].values)) == expected
