@@ -226,48 +226,67 @@ def convex_hull_3d_volume(points: np.ndarray) -> float:
     if d2[i3] < eps:
         return 0.0
 
-    verts = [0, i1, i2, i3]
-    centroid = pts[verts].mean(axis=0)
+    centroid = pts[[0, i1, i2, i3]].mean(axis=0)
 
-    # faces as vertex-index triples, outward-oriented w.r.t. tetra centroid
-    def orient(f):
-        a, b, c = f
-        nn = np.cross(pts[b] - pts[a], pts[c] - pts[a])
-        if nn @ (pts[a] - centroid) < 0:
-            return (a, c, b)
+    # face state as arrays so every visibility test is one vectorized op
+    # (the python-loop variant measured ~60 ms/object on building meshes)
+    faces = np.array(
+        [(0, i1, i2), (0, i1, i3), (0, i2, i3), (i1, i2, i3)], dtype=np.int64
+    )
+
+    def orient_rows(f):
+        a, b, c = pts[f[:, 0]], pts[f[:, 1]], pts[f[:, 2]]
+        nn = np.cross(b - a, c - a)
+        flip = np.einsum("fd,fd->f", nn, a - centroid) < 0
+        f = f.copy()
+        f[flip, 1], f[flip, 2] = f[flip, 2], f[flip, 1].copy()
         return f
 
-    faces = {orient(f) for f in [(0, i1, i2), (0, i1, i3), (0, i2, i3), (i1, i2, i3)]}
+    faces = orient_rows(faces)
 
-    remaining = [i for i in range(n) if i not in set(verts)]
-    for p in remaining:
-        visible = []
-        for f in faces:
-            a, b, c = f
-            nn = np.cross(pts[b] - pts[a], pts[c] - pts[a])
-            if nn @ (pts[p] - pts[a]) > eps * max(1.0, np.linalg.norm(nn)):
-                visible.append(f)
-        if not visible:
+    def face_normals(f):
+        a, b, c = pts[f[:, 0]], pts[f[:, 1]], pts[f[:, 2]]
+        nn = np.cross(b - a, c - a)
+        return nn, np.maximum(np.linalg.norm(nn, axis=1), 1.0)
+
+    normals, nlens = face_normals(faces)
+
+    used = np.zeros(n, dtype=bool)
+    used[[0, i1, i2, i3]] = True
+    # farthest-first insertion: the hull reaches its extremes early, so
+    # most later points fail the visibility test in one vectorized einsum
+    order = np.argsort(-np.linalg.norm(pts - centroid, axis=1), kind="stable")
+    for p in order:
+        if used[p]:
             continue
-        # horizon = edges of visible faces shared with exactly one visible face
-        edge_count: dict[tuple[int, int], int] = {}
-        for a, b, c in visible:
-            for e in ((a, b), (b, c), (c, a)):
-                k = (min(e), max(e))
-                edge_count[k] = edge_count.get(k, 0) + 1
-        horizon = []
-        for a, b, c in visible:
-            for e in ((a, b), (b, c), (c, a)):
-                if edge_count[(min(e), max(e))] == 1:
-                    horizon.append(e)
-        for f in visible:
-            faces.discard(f)
-        for a, b in horizon:
-            faces.add(orient((a, b, p)))
+        refs = pts[faces[:, 0]]
+        vis = np.einsum("fd,d->f", normals, pts[p]) - np.einsum(
+            "fd,fd->f", normals, refs
+        ) > eps * nlens
+        if not vis.any():
+            continue
+        vis_faces = faces[vis]
+        # horizon: edges appearing exactly once among visible faces
+        # (edges packed to int64 keys → 1-D unique, much cheaper than
+        # axis=0 unique on pairs)
+        edges = np.concatenate(
+            [vis_faces[:, [0, 1]], vis_faces[:, [1, 2]], vis_faces[:, [2, 0]]]
+        )
+        canon = np.sort(edges, axis=1)
+        keys = canon[:, 0] * np.int64(n) + canon[:, 1]
+        _, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        horizon = edges[counts[inv] == 1]
+        new_faces = np.column_stack(
+            [horizon, np.full(len(horizon), p, dtype=np.int64)]
+        )
+        new_faces = orient_rows(new_faces)
+        new_normals, new_nlens = face_normals(new_faces)
+        faces = np.concatenate([faces[~vis], new_faces])
+        normals = np.concatenate([normals[~vis], new_normals])
+        nlens = np.concatenate([nlens[~vis], new_nlens])
 
-    vol = 0.0
-    for a, b, c in faces:
-        vol += pts[a] @ np.cross(pts[b], pts[c])
+    a, b, c = pts[faces[:, 0]], pts[faces[:, 1]], pts[faces[:, 2]]
+    vol = np.einsum("fd,fd->f", a, np.cross(b, c)).sum()
     return float(abs(vol) / 6.0)
 
 

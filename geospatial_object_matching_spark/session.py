@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import os
 
+# one BLAS thread per python worker: 32 workers × N openblas threads
+# spin-locks the box into 80%+ system time (measured); partition
+# parallelism is the only parallelism we want.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 from .config import DEFAULT_CONF, EngineConf
@@ -40,6 +46,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in conf.extra_spark_conf.items():
         b = b.config(k, v)

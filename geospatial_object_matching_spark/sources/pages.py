@@ -102,6 +102,25 @@ def _mesh_for_source(obj_id: str, source: str, seed: int):
     if source == "index":
         rng = _entity_rng(obj_id, "index-discrepancy", seed)
         scale = 1.0 + np.clip(rng.normal(0.0, 0.02), -0.06, 0.06)
+        # resample the ring to a different vertex count (independent
+        # acquisitions digitize different vertices — keeps count-valued
+        # properties like num_vertices/num_floors from being identical
+        # across sources), then scale + jitter + rotate
+        m_old = len(ring)
+        m_new = int(np.clip(m_old + rng.integers(-2, 3), 8, 28))
+        if m_new != m_old:
+            closed = np.vstack([ring, ring[:1]])
+            zc = np.concatenate([roof_z, roof_z[:1]])
+            t_old = np.linspace(0.0, 1.0, m_old + 1)
+            t_new = np.linspace(0.0, 1.0, m_new, endpoint=False)
+            ring = np.stack(
+                [
+                    np.interp(t_new, t_old, closed[:, 0]),
+                    np.interp(t_new, t_old, closed[:, 1]),
+                ],
+                axis=1,
+            )
+            roof_z = np.interp(t_new, t_old, zc)
         ring = ring * scale + rng.normal(0.0, 0.05, ring.shape)
         roof_z = roof_z * scale
         roll = int(rng.integers(0, len(ring)))

@@ -1,0 +1,145 @@
+"""Sources + auxiliary operators: GeoJSON reader, Kabsch transform,
+multimodal plumbing, results sink."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_object_matching_spark.operators.extract import (
+    extract_objects,
+    standardize_ids,
+)
+from geospatial_object_matching_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
+from geospatial_object_matching_spark.operators.transform import (
+    apply_centroid_transform,
+    fit_centroid_transform,
+)
+from geospatial_object_matching_spark.sources.geojson import read_geojson_features
+from geospatial_object_matching_spark.sources.pages import generate_pages_df
+from geospatial_object_matching_spark.sources.results import seed_mean_results
+
+
+class TestGeoJSON:
+    def test_feature_rings(self, spark):
+        fc = {
+            "features": [
+                {
+                    "properties": {"name": "a"},
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]
+                        ],
+                    },
+                },
+                {
+                    "properties": {"name": "b"},
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[[5.0, 5.0], [6.0, 5.0], [5.0, 6.0], [5.0, 5.0]]],
+                    },
+                },
+            ]
+        }
+        df = spark.createDataFrame([(json.dumps(fc),)], "value string")
+        out = read_geojson_features(df).collect()
+        assert len(out) == 2
+        # closing vertex dropped (reference utils.py:231-234)
+        assert [list(p) for p in out[0]["ring"]] == [
+            [0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+        ]
+        assert out[1]["feature_idx"] == 1
+
+
+class TestStandardizeIds:
+    def test_prefix_suffix_stripping(self, spark):
+        rows = [
+            ("bag_123", "cands"),
+            ("NL.IMBAG.Pand.456-0", "index"),
+            ("plain", "cands"),
+        ]
+        df = spark.createDataFrame(rows, "obj_id string, source string")
+        out = {r["source"] + ":" + r["obj_id"] for r in standardize_ids(df).collect()}
+        assert out == {"cands:123", "index:456", "cands:plain"}
+
+
+class TestKabsch:
+    def test_recovers_planted_transform(self, spark):
+        rng = np.random.default_rng(2)
+        n = 200
+        pts = rng.normal(0, 50, (n, 3))
+        theta = 0.3
+        R = np.array(
+            [
+                [np.cos(theta), -np.sin(theta), 0],
+                [np.sin(theta), np.cos(theta), 0],
+                [0, 0, 1],
+            ]
+        )
+        s, t = 1.05, np.array([10.0, -5.0, 2.0])
+        # cands frame = s*R*index + t
+        index_pts = pts
+        cands_pts = s * index_pts @ R.T + t
+        rows = []
+        for i in range(n):
+            rows.append((f"e{i}", "cands", *map(float, cands_pts[i])))
+            rows.append((f"e{i}", "index", *map(float, index_pts[i])))
+        df = spark.createDataFrame(
+            rows,
+            "obj_id string, source string, centroid_x double, centroid_y double, "
+            "centroid_z double",
+        )
+        params = fit_centroid_transform(df)
+        assert params["scale"] == pytest.approx(s, rel=1e-6)
+        out = apply_centroid_transform(df, params).toPandas()
+        # transformed index centroids must land on their cands twins
+        piv = out.pivot_table(
+            index="obj_id", columns="source",
+            values=["centroid_x", "centroid_y", "centroid_z"],
+        )
+        for ax in ("centroid_x", "centroid_y", "centroid_z"):
+            np.testing.assert_allclose(
+                piv[(ax, "cands")], piv[(ax, "index")], atol=1e-6
+            )
+
+
+class TestMultimodal:
+    def test_fake_feature_plumbing(self, spark):
+        rows = [(f"m{i}", bytes([i % 7] * (100 + i))) for i in range(50)]
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        out = extract_media_features(df, fake=True).toPandas()
+        assert len(out) == 50
+        assert all(len(f) == 64 for f in out["features"])
+        np.testing.assert_allclose(
+            [sum(f) for f in out["features"]], 1.0, atol=1e-9
+        )
+        assert set(out["n_bytes"]) == {100 + i for i in range(50)}
+
+    def test_real_decode_is_stubbed(self, spark):
+        df = spark.createDataFrame([("m", b"xx")], "media_id string, blob binary")
+        with pytest.raises(Exception):
+            extract_media_features(df, fake=False).collect()
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame([("v1", b"")], "media_id string, blob binary")
+        out = frame_sample_plan(df, every_n=30).toPandas()
+        assert list(out["frame_idx"]) == list(range(0, 300, 30))
+
+
+class TestResultsSink:
+    def test_seed_mean_pivot(self, spark):
+        rows = [
+            ("rf", 1, "f1", 0.9), ("rf", 2, "f1", 0.8), ("rf", 3, "f1", 0.7),
+            ("rf", 1, "precision", 1.0), ("rf", 2, "precision", 0.9),
+            ("xgb", 1, "f1", 0.6),
+        ]
+        df = spark.createDataFrame(rows, "model string, seed int, metric string, value double")
+        out = seed_mean_results(df).toPandas().set_index("model")
+        assert out.loc["rf", "f1"] == pytest.approx(0.8)
+        assert out.loc["rf", "precision"] == pytest.approx(0.95)
+        assert out.loc["xgb", "f1"] == pytest.approx(0.6)
