@@ -63,14 +63,11 @@ def drop_exact_dups(
 # minhash + LSH
 # --------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64)
-    return a, b
+    a = rng.integers(1, np.iinfo(np.uint64).max, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, np.iinfo(np.uint64).max, n_hashes, dtype=np.uint64)
+    return a | np.uint64(1), b  # odd multipliers: bijective mod 2^64
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -106,16 +103,18 @@ def minhash_signatures(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                sh = _shingle_hashes(text or "", shingle_k).astype(np.int64)
-                # (h*a + b) mod p, min per hash fn
-                vals = (sh[None, :].astype(object) * a[:, None] + b[:, None]) % _MERSENNE
-                sigs.append(vals.min(axis=1).astype(np.int64))
-            yield pd.DataFrame(
-                {"doc_id": pdf[id_col].astype("int64"), "signature": sigs}
-            )
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                sigs = []
+                for text in pdf[text_col]:
+                    sh = _shingle_hashes(text or "", shingle_k)
+                    # universal-ish hash mod 2^64 (uint64 wraparound is the
+                    # modulus — fully vectorized, no python bigints)
+                    vals = sh[None, :] * a[:, None] + b[:, None]
+                    sigs.append(vals.min(axis=1).astype(np.int64))
+                yield pd.DataFrame(
+                    {"doc_id": pdf[id_col].astype("int64"), "signature": sigs}
+                )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 

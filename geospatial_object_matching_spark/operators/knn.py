@@ -106,9 +106,10 @@ def knn_join_broadcast(
         dim = mat_i.shape[1]
         ids_sortable = ids_i.astype(str)
         cc = np.einsum("nd,nd->n", mat_i, mat_i)
-        # reused buffers — never reallocated
+        # reused buffers — never reallocated; flat + reshape keeps the
+        # np.dot out= target C-contiguous for any (B, C) tail shape
         C0 = min(index_chunk, n_idx)
-        dbuf = np.empty((row_block, C0))
+        dbuf = np.empty(row_block * C0)
         fdiff = np.empty((n_idx, dim))
         frow = np.empty(n_idx)
 
@@ -144,7 +145,7 @@ def knn_join_broadcast(
                 for s in range(0, n_idx, C0):
                     chunk = mat_i[s : s + C0]
                     C = len(chunk)
-                    d = dbuf[:B, :C]
+                    d = dbuf[: B * C].reshape(B, C)
                     # |a|²-2ab+|b|² into the reused buffer (selection
                     # only; survivors get an exact recompute)
                     np.dot(q, chunk.T, out=d)
