@@ -101,9 +101,14 @@ class TestAggregation:
         from geospatial_object_matching_spark.plans.entry_queries import q_group_agg
 
         df = q_group_agg(spark, SF)
-        df.collect()  # AQE finalizes the plan (and codegen spans) on run
-        plan = plan_of(df)
-        assert "WholeStageCodegen" in plan
+        # ExplainMode codegen renders the generated WholeStageCodegen
+        # subtrees (the AdaptiveSparkPlan string form does not)
+        s = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"
+            )
+        )
+        assert "WholeStageCodegen" in s
 
 
 class TestKnnGridPlan:
