@@ -124,6 +124,8 @@ def pip_join(
     point_id_col: str = "point_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    salt_threshold: int | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Points → containing footprint polygons.
 
@@ -132,11 +134,42 @@ def pip_join(
     ray-cast runs only on co-tiled pairs. At 10^12 points this is the
     only join shape that works: no broadcast of a huge polygon set, no
     theta-join — one shuffle on tile id each side.
+
+    Skew (north_rule "salted-key splitting for hot tiles"): Zipf city
+    density makes a few tiles carry orders of magnitude more polygons.
+    With ``salt_threshold`` set, tiles holding more polygons than it are
+    salted: each point in a hot tile gets a hash salt in [0, buckets),
+    each polygon row in a hot tile is replicated across all buckets, and
+    the join key becomes (tile, salt) — splitting a hot tile's work
+    across ``salt_buckets`` reducers. AQE skew-join splitting remains on
+    as the runtime backstop.
     """
     tiles = tile_assignments(footprints_df, zoom).select(
         "obj_id", "tile_x", "tile_y"
     )
     polys = tiles.join(footprints_df.select("obj_id", "ring"), "obj_id")
+
+    salted = salt_threshold is not None
+    if salted:
+        hot = (
+            polys.groupBy("tile_x", "tile_y")
+            .count()
+            .filter(F.col("count") > salt_threshold)
+            .select("tile_x", "tile_y", F.lit(True).alias("_hot"))
+        )
+        polys = (
+            polys.join(F.broadcast(hot), ["tile_x", "tile_y"], "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_hot").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hot")
+        )
 
     def tile_expr(lon, lat):
         n = F.lit(float(2**zoom))
@@ -156,7 +189,20 @@ def pip_join(
         px.alias("tile_x"),
         py.alias("tile_y"),
     )
-    joined = pts.join(polys, ["tile_x", "tile_y"]).select(
+    join_keys = ["tile_x", "tile_y"]
+    if salted:
+        pts = pts.join(F.broadcast(hot), ["tile_x", "tile_y"], "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64("point_id"), F.lit(salt_buckets)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("_hot")
+        polys = polys.withColumn("_salt", F.col("_salt").cast("int"))
+        join_keys = ["tile_x", "tile_y", "_salt"]
+    joined = pts.join(polys, join_keys).select(
         "point_id", "_lon", "_lat", "obj_id", "ring"
     )
 

@@ -130,6 +130,19 @@ class TestTileOperators:
                 total += row["coverage"] * (b[2] - b[0]) * (b[3] - b[1])
             assert total == pytest.approx(polygon_area_2d(ring), rel=1e-6)
 
+    def test_pip_salting_changes_no_rows(self, spark, objects):
+        """north_rule: salted-key skew splitting must be output-invariant —
+        force every tile hot (threshold=0) and compare."""
+        cands = objects.filter(F.col("source") == "cands")
+        fp = footprints(cands).persist()
+        pts = cands.select(F.col("obj_id").alias("point_id"), "lon", "lat")
+        plain = pip_join(pts, fp, zoom=18).toPandas()
+        salted = pip_join(
+            pts, fp, zoom=18, salt_threshold=0, salt_buckets=4
+        ).toPandas()
+        key = lambda p: set(map(tuple, p[["point_id", "obj_id"]].values))
+        assert key(plain) == key(salted)
+
     def test_pip_self_containment(self, spark, objects):
         """Every cands page point (= footprint center) lies inside its own
         footprint → PIP join must contain all (obj_id, obj_id) pairs."""
