@@ -76,17 +76,24 @@ def bkafi_feature_order(properties: DataFrame, criterion: str = "std") -> list[s
 
 
 def bkafi_vectors(
-    properties: DataFrame, features: list[str]
+    properties: DataFrame,
+    features: list[str],
+    stats: dict[str, tuple[float, float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(cands_df, index_df) with a scaled ``features`` array column.
 
     Projects to exactly the selected property columns *before* the scaler
     aggregation so the parquet scan prunes to dim+2 columns (BKAFI's whole
-    point, expressed as Catalyst column pruning)."""
+    point, expressed as Catalyst column pruning). Pass precomputed
+    ``stats`` (robust_scaler_fit on the cands side) to reuse one fit
+    across many dims — per-feature stats are independent, so a dim-d
+    vector slices the dim-D fit."""
     proj = properties.select("obj_id", "source", *features)
     cands = proj.filter(F.col("source") == "cands")
     index = proj.filter(F.col("source") == "index")
-    stats = robust_scaler_fit(cands, features)  # fit on cands only
+    if stats is None:
+        stats = robust_scaler_fit(cands, features)  # fit on cands only
+    stats = {f: stats[f] for f in features}
     scaled_cols = [f"{f}__s" for f in features]
     cands = robust_scaler_transform(cands, stats, suffix="__s")
     index = robust_scaler_transform(index, stats, suffix="__s")
@@ -119,9 +126,15 @@ def run_bkafi_blocking(
     properties = properties.persist()
     order = feature_order or bkafi_feature_order(properties, criterion)
 
+    # one scaler fit covers every dim (per-feature stats are independent)
+    max_feats = order[: max(dims)]
+    stats = robust_scaler_fit(
+        properties.filter(F.col("source") == "cands"), max_feats
+    )
+
     per_dim = []
     for dim in dims:
-        cands, index = bkafi_vectors(properties, order[:dim])
+        cands, index = bkafi_vectors(properties, order[:dim], stats=stats)
         nn = knn_join(
             cands, index, nn_param, strategy=strategy, conf=conf
         ).withColumn("bkafi_dim", F.lit(dim))

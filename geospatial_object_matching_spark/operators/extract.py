@@ -55,6 +55,41 @@ def objects_schema(keep_text: bool) -> T.StructType:
     return T.StructType(fields)
 
 
+def parse_pages_batch(pdf: pd.DataFrame, min_surfaces: int = MIN_SURFACES_NUM):
+    """Shared vectorized parse of one Arrow batch of pages: regex field
+    extraction (pandas C), mesh buffer decode, min-surfaces filter.
+    Yields (obj_id, source, url, lat, lon, coords, offsets, text)."""
+    if len(pdf) == 0:
+        return
+    ext = pdf["text"].str.extract(_GEO_RE)
+    ok = ext["obj_id"].notna()
+    if not ok.any():
+        return
+    ext = ext[ok]
+    src_pdf = pdf[ok]
+    lats = ext["lat"].astype(np.float64).to_numpy()
+    lons = ext["lon"].astype(np.float64).to_numpy()
+    for i, (mesh_b64, rings_csv) in enumerate(
+        zip(ext["mesh"].to_numpy(), ext["rings"].to_numpy())
+    ):
+        coords = np.frombuffer(base64.b64decode(mesh_b64), dtype="<f4").astype(
+            np.float64
+        )
+        offsets = np.array(rings_csv.split(","), dtype=np.int64)
+        if len(offsets) - 1 < min_surfaces:
+            continue
+        yield (
+            ext["obj_id"].iloc[i],
+            ext["source"].iloc[i],
+            src_pdf["url"].iloc[i],
+            lats[i],
+            lons[i],
+            coords,
+            offsets,
+            src_pdf["text"].iloc[i],
+        )
+
+
 def extract_objects(
     pages: DataFrame,
     zoom: int = 15,
@@ -71,47 +106,30 @@ def extract_objects(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ext = pdf["text"].str.extract(_GEO_RE)
-            ok = ext["obj_id"].notna()
-            if not ok.any():
-                continue
-            ext = ext[ok]
-            src_pdf = pdf[ok]
             rows: dict[str, list] = {name: [] for name in col_names}
-            lats = ext["lat"].astype(np.float64).to_numpy()
-            lons = ext["lon"].astype(np.float64).to_numpy()
-            for i, (mesh_b64, rings_csv) in enumerate(
-                zip(ext["mesh"].to_numpy(), ext["rings"].to_numpy())
+            for oid, src, url, lat, lon, coords, offsets, text in parse_pages_batch(
+                pdf, min_surfaces
             ):
-                coords = np.frombuffer(
-                    base64.b64decode(mesh_b64), dtype="<f4"
-                ).astype(np.float64)
-                offsets = np.array(rings_csv.split(","), dtype=np.int64)
-                n_surf = len(offsets) - 1
-                if n_surf < min_surfaces:
-                    continue
                 pts = coords.reshape(-1, 3)
                 uniq = np.unique(pts, axis=0)
                 centroid = uniq.mean(axis=0)
-                rows["obj_id"].append(ext["obj_id"].iloc[i])
-                rows["source"].append(ext["source"].iloc[i])
-                rows["url"].append(src_pdf["url"].iloc[i])
+                rows["obj_id"].append(oid)
+                rows["source"].append(src)
+                rows["url"].append(url)
                 rows["coords"].append(coords)
                 rows["ring_offsets"].append(offsets.astype(np.int32))
-                rows["n_surfaces"].append(n_surf)
-                rows["lat"].append(lats[i])
-                rows["lon"].append(lons[i])
+                rows["n_surfaces"].append(len(offsets) - 1)
+                rows["lat"].append(lat)
+                rows["lon"].append(lon)
                 rows["centroid_x"].append(centroid[0])
                 rows["centroid_y"].append(centroid[1])
                 rows["centroid_z"].append(centroid[2])
                 rows["cell_id"].append(
-                    int(lonlat_to_cell(np.array([lons[i]]), np.array([lats[i]]), zoom)[0])
+                    int(lonlat_to_cell(np.array([lon]), np.array([lat]), zoom)[0])
                 )
                 rows["cell_res"].append(zoom)
                 if keep_text:
-                    rows["text"].append(src_pdf["text"].iloc[i])
+                    rows["text"].append(text)
             if rows["obj_id"]:
                 yield pd.DataFrame(rows)[col_names]
 

@@ -128,6 +128,13 @@ def knn_join_broadcast(
             near = np.concatenate([below, tied])
             return near[np.lexsort((ids_sortable[near], frow[near]))][:k_eff]
 
+        # cache-resident index → row-at-a-time exact scan: the index
+        # matrix (n_idx × dim) stays hot in L2/L3 across rows, so the
+        # kernel is compute-bound and scales with cores, unlike the
+        # chunked-GEMM path whose (B × C) distance buffer traffic
+        # saturates memory bandwidth at high worker counts.
+        row_wise = n_idx * dim * 8 <= 4 << 20
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -135,6 +142,28 @@ def knn_join_broadcast(
             if qall.ndim == 1:
                 qall = qall[:, None]
             out_c, out_i, out_r, out_d = [], [], [], []
+            if row_wise:
+                ids_col = pdf[id_col].to_numpy()
+                for bi in range(len(qall)):
+                    sub = exact_row(qall[bi])
+                    cid = ids_col[bi]
+                    for rank, j in enumerate(sub, start=1):
+                        out_c.append(cid)
+                        out_i.append(ids_i[j])
+                        out_r.append(rank)
+                        dd = float(frow[j])
+                        out_d.append(
+                            round(dd, round_dists) if round_dists else dd
+                        )
+                yield pd.DataFrame(
+                    {
+                        "cand_id": out_c,
+                        "index_id": out_i,
+                        "rank": out_r,
+                        "dist": out_d,
+                    }
+                )
+                continue
             for r0 in range(0, len(qall), row_block):
                 q = qall[r0 : r0 + row_block]
                 B = len(q)

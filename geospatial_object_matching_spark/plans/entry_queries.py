@@ -745,15 +745,18 @@ def q_geo_extract(spark, sf_dir):
 
 
 def q_geo_properties(spark, sf_dir):
-    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
-    props = compute_properties(objects, log1p=True)
-    rounded = [F.round(p, 6).alias(p) for p in props.columns[2:]]
+    from ..operators.properties import pages_to_properties
+    from ..config import OBJECT_PROPERTIES
+
+    props = pages_to_properties(_geo_pages(spark, sf_dir), zoom=15, log1p=True)
+    rounded = [F.round(p, 6).alias(p) for p in OBJECT_PROPERTIES]
     return props.select("obj_id", "source", *rounded)
 
 
 def q_geo_blocking_pairs(spark, sf_dir):
-    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
-    props = compute_properties(objects, log1p=True)
+    from ..operators.properties import pages_to_properties
+
+    props = pages_to_properties(_geo_pages(spark, sf_dir), zoom=15, log1p=True)
     res = run_bkafi_blocking(props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM)
     return res.candidates.select(
         "bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"
@@ -761,8 +764,9 @@ def q_geo_blocking_pairs(spark, sf_dir):
 
 
 def q_geo_blocking_recall(spark, sf_dir):
-    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
-    props = compute_properties(objects, log1p=True)
+    from ..operators.properties import pages_to_properties
+
+    props = pages_to_properties(_geo_pages(spark, sf_dir), zoom=15, log1p=True)
     res = run_bkafi_blocking(props, dims=[1, 3], k_list=(1, 5, 20), nn_param=NN_PARAM)
     return spark.createDataFrame(res.recall)
 
@@ -777,8 +781,9 @@ def q_geo_match_decisions(spark, sf_dir):
 
 
 def q_geo_pair_features(spark, sf_dir):
-    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
-    props = compute_properties(objects, log1p=True)
+    from ..operators.properties import pages_to_properties
+
+    props = pages_to_properties(_geo_pages(spark, sf_dir), zoom=15, log1p=True)
     order = bkafi_feature_order(props)
     cands_v, index_v = bkafi_vectors(props, order[:3])
     nn = knn_join_broadcast(cands_v, index_v, 5)

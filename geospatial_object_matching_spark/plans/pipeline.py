@@ -56,15 +56,24 @@ def run_pipeline(
             return checkpoints.run_stage(name, fn, params)
         return fn()
 
-    objects = stage("objects", lambda: extract_objects(pages, zoom=zoom)).persist()
+    from ..operators.properties import pages_to_properties
+    from ..operators.scaler import robust_scaler_fit
+
+    # fused parse+featurize: one Arrow pass, coords never serialized out
     properties = stage(
-        "properties", lambda: compute_properties(objects, log1p=True)
+        "properties", lambda: pages_to_properties(pages, zoom=zoom, log1p=True)
     ).persist()
+    # objects (with geometry buffers) built lazily only for callers that
+    # want tiles/PIP — not in the blocking/matching hot path
+    objects = extract_objects(pages, zoom=zoom)
 
     order = bkafi_feature_order(properties, criterion="std")
     feats = order[:bkafi_dim]
+    scaler_stats = robust_scaler_fit(
+        properties.filter(F.col("source") == "cands"), feats
+    )
 
-    cands_v, index_v = bkafi_vectors(properties, feats)
+    cands_v, index_v = bkafi_vectors(properties, feats, stats=scaler_stats)
     cands_v, index_v = cands_v.persist(), index_v.persist()
     candidates = stage(
         "candidates",
@@ -92,13 +101,26 @@ def run_pipeline(
             params={"dim": bkafi_dim, "k": k},
         )
 
-    n_c = objects.filter(F.col("source") == "cands").count()
-    n_i = objects.filter(F.col("source") == "index").count()
-    n_int = (
-        objects.filter(F.col("source") == "cands")
-        .select("obj_id")
-        .intersect(objects.filter(F.col("source") == "index").select("obj_id"))
-        .count()
+    # one job for all three counts (cands, index, intersection) instead of
+    # a count + count + intersect-count chain — driver-synchronized jobs
+    # are pure serial time in the scaling budget
+    side_counts = (
+        properties.groupBy("obj_id")
+        .agg(
+            F.max((F.col("source") == "cands").cast("int")).alias("c"),
+            F.max((F.col("source") == "index").cast("int")).alias("i"),
+        )
+        .agg(
+            F.sum("c").alias("n_c"),
+            F.sum("i").alias("n_i"),
+            F.sum(F.col("c") * F.col("i")).alias("n_int"),
+        )
+        .first()
+    )
+    n_c, n_i, n_int = (
+        int(side_counts["n_c"]),
+        int(side_counts["n_i"]),
+        int(side_counts["n_int"]),
     )
     stats = threshold_stats(candidates, thresholds, n_c, n_i, n_int)
 

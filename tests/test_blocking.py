@@ -91,6 +91,30 @@ class TestProperties:
                     f"{p} for {row['source']}/{row['obj_id']}"
                 )
 
+    def test_fused_equals_unfused(self, spark, pages, properties):
+        """pages_to_properties (fused parse+featurize) must equal the
+        extract → compute_properties path exactly."""
+        from geospatial_object_matching_spark.config import OBJECT_PROPERTIES
+        from geospatial_object_matching_spark.operators.properties import (
+            pages_to_properties,
+        )
+
+        cols = ["obj_id", "source", *OBJECT_PROPERTIES]
+        fused = (
+            pages_to_properties(pages, log1p=True)
+            .select(*cols)
+            .toPandas()
+            .sort_values(["obj_id", "source"])
+            .reset_index(drop=True)
+        )
+        unfused = (
+            properties.select(*cols)
+            .toPandas()
+            .sort_values(["obj_id", "source"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fused, unfused)
+
     def test_ratio_stats_match_oracle(self, properties, oracle_state):
         _, _, prop_dict = oracle_state
         engine = property_ratio_stats(properties)

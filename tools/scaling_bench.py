@@ -32,16 +32,18 @@ def run_at(cpus: int, sf_dir: str, n_entities: int) -> dict:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    n_big = 4 * n_small
 
-    small = run_at(8, sf_dir, n_entities)
-    big = run_at(32, sf_dir, n_entities)
+    small = run_at(n_small, sf_dir, n_entities)
+    big = run_at(n_big, sf_dir, n_entities)
     # efficiency: speedup achieved / speedup available
-    eff = (small["sec"] / big["sec"]) / (32 / 8)
+    eff = (small["sec"] / big["sec"]) / (n_big / n_small)
     out = {
         "sf_dir": sf_dir,
         "n_pages": big["n_pages"],
-        "local8": small,
-        "local32": big,
+        f"local{n_small}": small,
+        f"local{n_big}": big,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(out, indent=1))
@@ -53,10 +55,10 @@ def main():
         f.write(
             f"\n## Scaling run {stamp} — {sf_dir}, {big['n_pages']} pages\n\n"
             "| cores | wall (s) | pages/sec | matches |\n|---|---|---|---|\n"
-            f"| local[8] | {small['sec']} | {small['pages_per_sec']} | {small['n_matches']} |\n"
-            f"| local[32] | {big['sec']} | {big['pages_per_sec']} | {big['n_matches']} |\n\n"
-            f"**Scaling efficiency (8→32 cores, 4×): {out['scaling_efficiency']}**"
-            f" (north_rule target ≥ 0.8)\n"
+            f"| local[{n_small}] | {small['sec']} | {small['pages_per_sec']} | {small['n_matches']} |\n"
+            f"| local[{n_big}] | {big['sec']} | {big['pages_per_sec']} | {big['n_matches']} |\n\n"
+            f"**Scaling efficiency ({n_small}→{n_big} cores, 4×): "
+            f"{out['scaling_efficiency']}** (north_rule target ≥ 0.8)\n"
         )
 
 
