@@ -14,8 +14,9 @@ indexes (blocking.py:62-76, 106-118) with two distributed strategies:
   (equi-join on cell coordinates — a plain shuffled hash join Catalyst can
   plan, AQE-skew-splittable), keeps a running top-k per candidate via a
   rank window, and retires a candidate once its kth distance < r·w (every
-  unsearched point is ≥ r·w away — completeness proof in ``_ring_bound``).
-  Distances are JVM-side column expressions (no Python in the join loop).
+  unsearched point is ≥ r·w away — completeness proof in the
+  ``knn_join_grid`` docstring). Distances are JVM-side column expressions
+  (no Python in the join loop).
 
 Both strategies return identical rows: (cand_id, index_id, rank, dist)
 with rank 1..k ordered by (dist, index_id) — the deterministic tie-break
@@ -86,8 +87,6 @@ def knn_join_broadcast(
     idx_mat = np.array([r[1] for r in idx_rows], dtype=np.float64)
     if idx_mat.ndim == 1:
         idx_mat = idx_mat[:, None]
-    # tie-break order is (dist, index_id): pre-sort ids so argpartition fall
-    # -backs stay deterministic
     bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
     k_eff = min(k, len(idx_ids))
 

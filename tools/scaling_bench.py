@@ -16,17 +16,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_at(cpus: int, sf_dir: str, n_entities: int) -> dict:
+def run_at(cpus: int, sf_dir: str, n_entities: int, trials: int = 2) -> dict:
+    """Min wall over ``trials`` runs — this host's steal time and
+    page-fault service vary by 2-4× run to run; min is the standard
+    noise-robust wall-clock estimator."""
     from bench import build_spark, run_geo_pipeline
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        res = run_geo_pipeline(spark, sf_dir, n_entities)
+        best = None
+        for _ in range(trials):
+            # identical logical plans would hit CacheManager reuse from the
+            # previous trial's persisted stages — that would measure cached
+            # re-reads, not compute
+            spark.catalog.clearCache()
+            res = run_geo_pipeline(spark, sf_dir, n_entities)
+            if best is None or res["sec"] < best["sec"]:
+                best = res
     finally:
         spark.stop()
-    res["cpus"] = cpus
-    return res
+    best["cpus"] = cpus
+    return best
 
 
 def main():
