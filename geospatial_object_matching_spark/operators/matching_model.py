@@ -228,3 +228,28 @@ def feature_importance_order(
     return [
         name.split("_ratio")[0] for name, _ in model.feature_importance_ranking()
     ]
+
+
+def learned_feature_order(
+    properties: DataFrame,
+    n_neg: int = 2,
+    seed: int = 1,
+    **rf_kwargs,
+) -> tuple[list[str], RandomForestMatcher]:
+    """End-to-end 'feature_importance' BKAFI criterion (the reference
+    default, config.py:68): build a labeled train pair set (positives =
+    matched ids, negatives = deterministic per-candidate samples,
+    data_partition.py:55-60 semantics), compute 25 ratio features, fit the
+    forest, return properties ordered by importance desc."""
+    from ..config import OBJECT_PROPERTIES
+    from .matching import label_pairs, pair_features
+    from .sampling import negative_sample_pairs
+
+    cands_ids = properties.filter(F.col("source") == "cands").select("obj_id")
+    index_ids = properties.filter(F.col("source") == "index").select("obj_id")
+    matched = cands_ids.intersect(index_ids)
+    pairs = negative_sample_pairs(matched, index_ids, n_neg, seed)
+    feats = pair_features(label_pairs(pairs), properties)
+    ratio_cols = [f"{p}_ratio" for p in OBJECT_PROPERTIES]
+    model = train_matcher(feats, ratio_cols, **rf_kwargs)
+    return feature_importance_order(model), model

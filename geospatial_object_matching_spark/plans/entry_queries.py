@@ -817,6 +817,25 @@ def q_geo_pip(spark, sf_dir):
     return pip_join(pts, fp, zoom=18)
 
 
+def q_geo_blocking_fi(spark, sf_dir):
+    """BKAFI with the learned feature_importance criterion (the reference
+    default, config.py:68): numpy-RF importances order the blocking
+    features (rows-only oracle; ordering quality asserted in pytest)."""
+    from ..operators.matching_model import learned_feature_order
+    from ..operators.properties import pages_to_properties
+
+    props = pages_to_properties(
+        _geo_pages(spark, sf_dir), zoom=15, log1p=True
+    ).persist()
+    order, _ = learned_feature_order(props, n_neg=2, seed=1, n_trees=15)
+    res = run_bkafi_blocking(
+        props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM, feature_order=order
+    )
+    return res.candidates.select(
+        "bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"
+    )
+
+
 def q_geo_centroid_knn(spark, sf_dir):
     from ..operators.blocking import centroid_blocking
 
@@ -867,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_tiles": q_geo_tiles,
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
+    "geo_blocking_fi": q_geo_blocking_fi,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -67,6 +67,39 @@ class TestSparkPredict:
         for i in range(len(X)):
             assert out.loc[str(i), "score"] == pytest.approx(local[i], abs=1e-12)
 
+    def test_learned_feature_order_end_to_end(self, spark):
+        """feature_importance BKAFI criterion on the geospatial fixture:
+        learned order is deterministic, covers all 25 properties, and
+        blocking with it achieves sane recall."""
+        from geospatial_object_matching_spark.config import OBJECT_PROPERTIES
+        from geospatial_object_matching_spark.operators.blocking import (
+            run_bkafi_blocking,
+        )
+        from geospatial_object_matching_spark.operators.matching_model import (
+            learned_feature_order,
+        )
+        from geospatial_object_matching_spark.operators.properties import (
+            pages_to_properties,
+        )
+        from geospatial_object_matching_spark.sources.pages import (
+            generate_pages_df,
+        )
+
+        props = pages_to_properties(
+            generate_pages_df(spark, 60, seed=42), log1p=True
+        ).persist()
+        order1, model = learned_feature_order(props, n_neg=2, seed=1, n_trees=10)
+        order2, _ = learned_feature_order(props, n_neg=2, seed=1, n_trees=10)
+        assert order1 == order2
+        assert sorted(order1) == sorted(OBJECT_PROPERTIES)
+
+        res = run_bkafi_blocking(
+            props, dims=[3], k_list=(20,), feature_order=order1,
+            strategy="broadcast",
+        )
+        recall = res.recall["blocking_recall"].iloc[0]
+        assert recall >= 0.5  # learned features must be informative
+
     def test_train_matcher_from_df(self, spark):
         X, y = make_data(800)
         rows = [
