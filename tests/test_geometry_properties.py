@@ -1,0 +1,97 @@
+"""Property-based invariants of the geometry kernels (hypothesis) —
+SURVEY.md §5 layer 4."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geospatial_object_matching_spark.functions import geometry as G
+from geospatial_object_matching_spark.functions.cells import (
+    points_in_polygon,
+    polygon_area_2d,
+    rasterize_footprint,
+    tile_bounds,
+)
+
+coords3d = st.lists(
+    st.tuples(
+        st.floats(-100, 100, allow_nan=False),
+        st.floats(-100, 100, allow_nan=False),
+        st.floats(-100, 100, allow_nan=False),
+    ),
+    min_size=6,
+    max_size=40,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(coords3d, st.floats(-1000, 1000, allow_nan=False))
+def test_hull_volume_translation_invariant(pts, shift):
+    p = np.asarray(pts, dtype=np.float64)
+    v0 = G.convex_hull_3d_volume(p)
+    v1 = G.convex_hull_3d_volume(p + shift)
+    assert abs(v0 - v1) <= 1e-6 * max(1.0, v0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(coords3d, st.floats(0.1, 10.0, allow_nan=False))
+def test_hull_volume_scale_cubic(pts, s):
+    p = np.asarray(pts, dtype=np.float64)
+    v0 = G.convex_hull_3d_volume(p)
+    v1 = G.convex_hull_3d_volume(p * s)
+    assert abs(v1 - v0 * s**3) <= 1e-6 * max(1.0, v0 * s**3)
+
+
+@settings(max_examples=30, deadline=None)
+@given(coords3d, st.randoms())
+def test_hull_volume_permutation_invariant(pts, rnd):
+    p = np.asarray(pts, dtype=np.float64)
+    v0 = G.convex_hull_3d_volume(p)
+    idx = list(range(len(p)))
+    rnd.shuffle(idx)
+    v1 = G.convex_hull_3d_volume(p[idx])
+    assert abs(v0 - v1) <= 1e-9 * max(1.0, v0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(coords3d)
+def test_hull_contains_mesh_volume_bound(pts):
+    """Hull volume upper-bounds any closed-surface fan volume of a subset
+    polygon; weaker sanity: hull of points ⊇ points → volume ≥ 0."""
+    p = np.asarray(pts, dtype=np.float64)
+    assert G.convex_hull_3d_volume(p) >= 0.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(-0.002, 0.002), st.floats(-0.002, 0.002)),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_rasterize_coverage_conserves_area(offsets):
+    """Σ coverage × tile_area == polygon area for any simple-ish ring."""
+    ang = np.sort(np.arctan2(*np.asarray(offsets).T[::-1]) + np.pi)
+    r = 0.0005 + 0.0015 * np.abs(np.sin(np.arange(len(offsets)) + 1.0))
+    poly = np.stack(
+        [4.3 + r * np.cos(ang), 52.07 + r * np.sin(ang)], axis=1
+    )
+    area = polygon_area_2d(poly)
+    if area <= 0:
+        return
+    total = 0.0
+    for tx, ty, cov in rasterize_footprint(poly, 18):
+        b = tile_bounds(tx, ty, 18)
+        total += cov * (b[2] - b[0]) * (b[3] - b[1])
+    assert abs(total - area) <= 1e-9 + 1e-6 * area
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.floats(0.1, 3.9),
+    st.floats(0.1, 3.9),
+)
+def test_pip_convex_square_membership(px, py):
+    poly = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    assert points_in_polygon(np.array([px]), np.array([py]), poly)[0]
+    assert not points_in_polygon(np.array([px + 10]), np.array([py]), poly)[0]

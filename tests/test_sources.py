@@ -56,6 +56,70 @@ class TestGeoJSON:
         assert out[1]["feature_idx"] == 1
 
 
+class TestCityJSON:
+    def _make_doc(self, objs):
+        """Minimal CityJSON doc: shared vertex table + boundary indices."""
+        vertices = []
+        city_objects = {}
+        for oid, surfaces in objs.items():
+            boundaries = []
+            for surf in surfaces:
+                ring = []
+                for v in surf:
+                    ring.append(len(vertices))
+                    vertices.append(list(v))
+                boundaries.append([ring])
+            city_objects[oid] = {
+                "type": "Building",
+                "geometry": [{"type": "Solid", "boundaries": [boundaries]}],
+            }
+        return json.dumps(
+            {"type": "CityJSON", "vertices": vertices, "CityObjects": city_objects}
+        )
+
+    def test_parse_resolves_indices_and_filters(self, spark):
+        import itertools
+
+        # a box-ish object with 10 surfaces (passes filter) and a 2-surface
+        # object (dropped, pipelines.py:144-145)
+        def quad(z):
+            return [(0, 0, z), (1, 0, z), (1, 1, z), (0, 1, z)]
+
+        big = [quad(float(i)) for i in range(10)]
+        small = [quad(0.0), quad(1.0)]
+        doc = self._make_doc({"bag_big": big, "tiny": small})
+        df = spark.createDataFrame([(doc,)], "value string")
+
+        from geospatial_object_matching_spark.sources.cityjson import read_cityjson
+
+        out = read_cityjson(df, source="cands").collect()
+        assert [r["obj_id"] for r in out] == ["bag_big"]
+        r = out[0]
+        assert r["n_surfaces"] == 10
+        coords = np.asarray(r["coords"]).reshape(-1, 3)
+        assert coords.shape == (40, 3)
+        # vertex indices resolved: first surface is quad(0)
+        np.testing.assert_allclose(coords[:4], np.asarray(quad(0.0), dtype=float))
+        # centroid = mean of unique vertices
+        uniq = np.unique(coords, axis=0)
+        assert r["centroid_z"] == pytest.approx(uniq[:, 2].mean())
+
+    def test_transform_scale_translate(self, spark):
+        doc = json.loads(
+            self._make_doc(
+                {"o": [[(0, 0, z), (10, 0, z), (10, 10, z), (0, 10, z)] for z in range(10)]}
+            )
+        )
+        doc["transform"] = {"scale": [0.001, 0.001, 0.001], "translate": [100.0, 200.0, 0.0]}
+        df = spark.createDataFrame([(json.dumps(doc),)], "value string")
+        from geospatial_object_matching_spark.sources.cityjson import read_cityjson
+
+        r = read_cityjson(df, source="index").collect()[0]
+        coords = np.asarray(r["coords"]).reshape(-1, 3)
+        assert coords[:, 0].min() == pytest.approx(100.0)
+        assert coords[:, 1].max() == pytest.approx(200.01)
+
+
 class TestStandardizeIds:
     def test_prefix_suffix_stripping(self, spark):
         rows = [
