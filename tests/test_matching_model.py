@@ -100,6 +100,74 @@ class TestSparkPredict:
         recall = res.recall["blocking_recall"].iloc[0]
         assert recall >= 0.5  # learned features must be informative
 
+    def test_matching_end_to_end_with_contamination(self, spark):
+        """Reference lifecycle §3.2 + contamination replay
+        (contamination_experiments.py): train on clean pair features,
+        evaluate on clean and 25%-contaminated test pairs; quality must be
+        high clean and degrade gracefully."""
+        from pyspark.sql import functions as F
+
+        from geospatial_object_matching_spark.config import OBJECT_PROPERTIES
+        from geospatial_object_matching_spark.operators.matching import (
+            label_pairs,
+            pair_features,
+            precision_recall_f1,
+        )
+        from geospatial_object_matching_spark.operators.matching_model import (
+            predict_matches,
+            train_matcher,
+        )
+        from geospatial_object_matching_spark.operators.properties import (
+            pages_to_properties,
+        )
+        from geospatial_object_matching_spark.operators.sampling import (
+            contaminate_features,
+            negative_sample_pairs,
+        )
+        from geospatial_object_matching_spark.sources.pages import (
+            generate_pages_df,
+        )
+
+        props = pages_to_properties(
+            generate_pages_df(spark, 120, seed=42), log1p=True
+        ).persist()
+        cands_ids = props.filter(F.col("source") == "cands").select("obj_id")
+        index_ids = props.filter(F.col("source") == "index").select("obj_id")
+        matched = cands_ids.intersect(index_ids)
+        pairs = label_pairs(negative_sample_pairs(matched, index_ids, 3, seed=2))
+        feats = pair_features(pairs, props).persist()
+        ratio_cols = [f"{p}_ratio" for p in OBJECT_PROPERTIES]
+
+        # deterministic hash split train/test
+        is_train = F.substring(
+            F.md5(F.concat("cand_id", F.lit("|"), "index_id")), 1, 1
+        ).isin(*list("01234567"))
+        train = feats.filter(is_train)
+        test = feats.filter(~is_train).persist()
+
+        model = train_matcher(train, ratio_cols, n_trees=15, max_depth=7, seed=3)
+
+        def f1_of(test_df):
+            scored = predict_matches(
+                model, test_df, ratio_cols, keep_cols=("cand_id", "index_id", "label")
+            )
+            return precision_recall_f1(scored)["f1"]
+
+        clean_f1 = f1_of(test)
+        assert clean_f1 > 0.8, clean_f1
+
+        dirty = contaminate_features(
+            test.withColumn(
+                "_k", F.concat("cand_id", F.lit("|"), "index_id")
+            ),
+            ratio_cols,
+            level=0.25,
+            seed=5,
+            key_col="_k",
+        )
+        dirty_f1 = f1_of(dirty)
+        assert dirty_f1 > 0.5 * clean_f1, (clean_f1, dirty_f1)
+
     def test_train_matcher_from_df(self, spark):
         X, y = make_data(800)
         rows = [
