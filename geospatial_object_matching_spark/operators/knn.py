@@ -379,6 +379,199 @@ def knn_join_grid(
     return out.select("cand_id", "index_id", "rank", "dist")
 
 
+# --------------------------------------------------------------------------
+# equi-depth strategy (skew-proof scale path)
+# --------------------------------------------------------------------------
+
+
+def knn_join_equidepth(
+    cands: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str = "obj_id",
+    features_col: str = "features",
+    round_dists: int | None = 3,
+    rows_per_bin: int = 64,
+    conf: EngineConf = DEFAULT_CONF,
+) -> DataFrame:
+    """Exact kNN via equi-depth 1-D binned neighbor-ring expansion.
+
+    The fixed-width grid collapses under skew (Zipf-clustered feature
+    space → one hot cell holds half the index and its per-round join
+    explodes). Equi-depth bins on the *first* feature dimension are
+    perfectly balanced on the index side by construction: bin boundaries
+    are index quantiles, every bin holds ~rows_per_bin rows, so round r
+    joins each candidate to at most (2r+1)·rows_per_bin index rows no
+    matter how skewed the distribution. Distances remain full-dimensional
+    JVM expressions.
+
+    Completeness: after searching bins [b-r, b+r], every unsearched point
+    has first-coordinate strictly below boundary[b-r] or at/above
+    boundary[b+r+1], so its full-space distance is ≥
+    gap = min(x₀ - boundary[b-r], boundary[b+r+1] - x₀) (edges → ∞).
+    A candidate retires when its kth distance < gap.
+
+    Win condition (measured, BENCH.md): pruning power is the ratio of the
+    kth-NN distance to the dim-0 bin width. On *geographic* spaces
+    (building centroids: neighbors within meters, bins within cities)
+    candidates retire after 1-2 rounds and this is the only join shape
+    that works beyond executor memory. On *dense low-dimensional feature*
+    spaces (3-dim log-scaled BKAFI vectors, kth distance ≈ 100 bin
+    widths) most of the index is scanned through shuffle joins and the
+    broadcast kernel wins by a large constant — hence the dispatch
+    threshold in ``knn_join`` keeps broadcast up to
+    ``conf.broadcast_index_max_rows``.
+    """
+    spark = cands.sparkSession
+    # interior boundaries = index quantiles of dim 0 (approx quantiles are
+    # fine: balance is a performance property; correctness uses the actual
+    # boundary VALUES in the gap bound)
+    n_index = index.count()
+    n_bins = max(1, n_index // rows_per_bin)
+    x0 = F.element_at(F.col(features_col), 1)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    interior = (
+        index.agg(
+            F.percentile_approx(
+                x0, F.array(*[F.lit(p) for p in probs]), 10_000
+            ).alias("q")
+        ).first()["q"]
+        if probs
+        else []
+    )
+    interior = [float(v) for v in interior]
+    bc_bounds = spark.sparkContext.broadcast(np.asarray(interior))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _bin(x: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(bc_bounds.value, x.to_numpy(), side="right")
+        )
+
+    idx = (
+        index.select(
+            F.col(id_col).alias("index_id"), F.col(features_col).alias("_fi")
+        )
+        .withColumn("_bin", _bin(F.element_at(F.col("_fi"), 1)))
+        .persist()
+    )
+    idx.count()
+    remaining = (
+        cands.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(features_col).alias("_fc"),
+        )
+        .withColumn("_x0", F.element_at(F.col("_fc"), 1))
+        .withColumn("_bin", _bin(F.col("_x0")))
+        .persist()
+    )
+
+    w = Window.partitionBy("cand_id").orderBy("dist", "index_id")
+    best: DataFrame | None = None
+    # geometric radius growth: the dim-0 gap must exceed the kth FULL-space
+    # distance before a candidate retires, which can take tens of bins —
+    # doubling the radius per round keeps the driver loop at O(log n_bins)
+    # rounds while the per-round join stays bounded by the new shell size
+    radii = [0]
+    while radii[-1] < n_bins:
+        radii.append(max(radii[-1] * 2, 1))
+
+    for round_i in range(1, len(radii)):
+        if remaining.isEmpty():
+            break
+        r_prev, r = radii[round_i - 1], radii[round_i]
+        if round_i == 1:
+            shell = list(range(-r, r + 1))  # first round includes bin 0
+        else:
+            shell = [s for m in range(r_prev + 1, r + 1) for s in (-m, m)]
+        probes = (
+            remaining.withColumn(
+                "_off", F.explode(F.array(*[F.lit(s) for s in shell]))
+            )
+            .withColumn("_pbin", F.col("_off") + F.col("_bin"))
+            .filter((F.col("_pbin") >= 0) & (F.col("_pbin") < n_bins))
+        )
+        new_pairs = probes.join(
+            idx, probes["_pbin"] == idx["_bin"], "inner"
+        ).select(
+            "cand_id", "_x0", probes["_bin"].alias("_cbin"),
+            "index_id", _dist_expr("_fc", "_fi").alias("dist"),
+        )
+        carried = (
+            None
+            if best is None
+            else best.select("cand_id", "_x0", "_cbin", "index_id", "dist")
+        )
+        round_best = (
+            new_pairs if carried is None else carried.unionByName(new_pairs)
+        )
+        round_best = (
+            round_best.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .persist()
+        )
+        round_best.count()
+        if best is not None:
+            best.unpersist()
+        best = round_best
+
+        # retirement: kth distance strictly below the boundary gap
+        lo = F.col("_cbin") - r
+        hi = F.col("_cbin") + r + 1
+        arr = F.array(*[F.lit(v) for v in interior]) if interior else None
+        if arr is not None:
+            gap_below = F.when(
+                lo >= 1, F.col("_x0") - F.element_at(arr, lo.cast("int"))
+            ).otherwise(F.lit(float("inf")))
+            gap_above = F.when(
+                hi <= len(interior),
+                F.element_at(arr, hi.cast("int")) - F.col("_x0"),
+            ).otherwise(F.lit(float("inf")))
+            gap = F.least(gap_below, gap_above)
+        else:
+            gap = F.lit(float("inf"))
+        stats = best.groupBy("cand_id").agg(
+            F.count("*").alias("_n"),
+            F.max("dist").alias("_kth"),
+            F.first("_x0").alias("_x0"),
+            F.first("_cbin").alias("_cbin"),
+        )
+        done = stats.filter(
+            (F.col("_n") >= F.lit(min(k, n_index))) & (F.col("_kth") < gap)
+        ).select("cand_id")
+        new_remaining = remaining.join(done, "cand_id", "left_anti").persist()
+        new_remaining.count()
+        remaining.unpersist()
+        remaining = new_remaining
+
+    if not remaining.isEmpty():
+        brute = knn_join_broadcast(
+            remaining.select(
+                F.col("cand_id").alias(id_col), F.col("_fc").alias(features_col)
+            ),
+            idx.select(
+                F.col("index_id").alias(id_col), F.col("_fi").alias(features_col)
+            ),
+            k,
+            id_col=id_col,
+            features_col=features_col,
+            round_dists=None,
+        )
+        done_pairs = best.join(remaining.select("cand_id"), "cand_id", "left_anti")
+        best = done_pairs.select("cand_id", "index_id", "dist").unionByName(
+            brute.select("cand_id", "index_id", "dist")
+        )
+    else:
+        best = best.select("cand_id", "index_id", "dist")
+
+    out = best.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if round_dists is not None:
+        out = out.withColumn("dist", F.round("dist", round_dists))
+    return out.select("cand_id", "index_id", "rank", "dist")
+
+
 def knn_join(
     cands: DataFrame,
     index: DataFrame,
@@ -391,16 +584,22 @@ def knn_join(
     conf: EngineConf = DEFAULT_CONF,
 ) -> DataFrame:
     """Strategy dispatch: broadcast when the index side is small enough,
-    grid-ring expansion otherwise (mirrors Catalyst's broadcast-vs-shuffle
-    join choice, but for the similarity join Catalyst can't plan)."""
+    equi-depth binned ring expansion otherwise (mirrors Catalyst's
+    broadcast-vs-shuffle join choice, but for the similarity join Catalyst
+    can't plan). 'grid' selects the fixed-width cell variant (uniform
+    spaces); 'equidepth' is the skew-proof scale path."""
     if strategy == "auto":
         n_index = index.count()
         strategy = (
-            "broadcast" if n_index <= conf.broadcast_index_max_rows else "grid"
+            "broadcast" if n_index <= conf.broadcast_index_max_rows else "equidepth"
         )
     if strategy == "broadcast":
         return knn_join_broadcast(
             cands, index, k, id_col, features_col, round_dists=round_dists
+        )
+    if strategy == "equidepth":
+        return knn_join_equidepth(
+            cands, index, k, id_col, features_col, round_dists=round_dists, conf=conf
         )
     if grid_width is None:
         grid_width = estimate_grid_width(cands, index, k, features_col)

@@ -17,6 +17,7 @@ from geospatial_object_matching_spark.operators.blocking import (
 from geospatial_object_matching_spark.operators.extract import extract_objects
 from geospatial_object_matching_spark.operators.knn import (
     knn_join_broadcast,
+    knn_join_equidepth,
     knn_join_grid,
 )
 from geospatial_object_matching_spark.operators.properties import compute_properties
@@ -187,6 +188,20 @@ class TestBlocking:
             b[["cand_id", "index_id", "rank"]], g[["cand_id", "index_id", "rank"]]
         )
         np.testing.assert_allclose(b["dist"], g["dist"], atol=1e-9)
+
+    def test_equidepth_strategy_equals_broadcast(self, properties):
+        order = bkafi_feature_order(properties)
+        cands, index = bkafi_vectors(properties, order[:3])
+        cands, index = cands.persist(), index.persist()
+        b = knn_join_broadcast(cands, index, 10).toPandas()
+        e = knn_join_equidepth(cands, index, 10, rows_per_bin=8).toPandas()
+        key = ["cand_id", "rank"]
+        b = b.sort_values(key).reset_index(drop=True)
+        e = e.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["cand_id", "index_id", "rank"]], e[["cand_id", "index_id", "rank"]]
+        )
+        np.testing.assert_allclose(b["dist"], e["dist"], atol=1e-9)
 
     def test_centroid_blocking_matches_oracle(self, objects, oracle_state):
         _, od, _ = oracle_state
