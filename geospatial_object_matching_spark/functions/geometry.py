@@ -247,22 +247,23 @@ def convex_hull_3d_volume(points: np.ndarray) -> float:
     def face_normals(f):
         a, b, c = pts[f[:, 0]], pts[f[:, 1]], pts[f[:, 2]]
         nn = np.cross(b - a, c - a)
-        return nn, np.maximum(np.linalg.norm(nn, axis=1), 1.0)
+        # cache n·ref per face so each point's visibility test is one
+        # matvec + compare (no per-point gather/einsum over faces)
+        return nn, np.maximum(np.linalg.norm(nn, axis=1), 1.0), np.einsum(
+            "fd,fd->f", nn, a
+        )
 
-    normals, nlens = face_normals(faces)
+    normals, nlens, ndots = face_normals(faces)
 
     used = np.zeros(n, dtype=bool)
     used[[0, i1, i2, i3]] = True
     # farthest-first insertion: the hull reaches its extremes early, so
-    # most later points fail the visibility test in one vectorized einsum
+    # most later points fail the visibility test in one vectorized matvec
     order = np.argsort(-np.linalg.norm(pts - centroid, axis=1), kind="stable")
     for p in order:
         if used[p]:
             continue
-        refs = pts[faces[:, 0]]
-        vis = np.einsum("fd,d->f", normals, pts[p]) - np.einsum(
-            "fd,fd->f", normals, refs
-        ) > eps * nlens
+        vis = normals @ pts[p] - ndots > eps * nlens
         if not vis.any():
             continue
         vis_faces = faces[vis]
@@ -280,10 +281,11 @@ def convex_hull_3d_volume(points: np.ndarray) -> float:
             [horizon, np.full(len(horizon), p, dtype=np.int64)]
         )
         new_faces = orient_rows(new_faces)
-        new_normals, new_nlens = face_normals(new_faces)
+        new_normals, new_nlens, new_ndots = face_normals(new_faces)
         faces = np.concatenate([faces[~vis], new_faces])
         normals = np.concatenate([normals[~vis], new_normals])
         nlens = np.concatenate([nlens[~vis], new_nlens])
+        ndots = np.concatenate([ndots[~vis], new_ndots])
 
     a, b, c = pts[faces[:, 0]], pts[faces[:, 1]], pts[faces[:, 2]]
     vol = np.einsum("fd,fd->f", a, np.cross(b, c)).sum()

@@ -836,6 +836,73 @@ def q_geo_blocking_fi(spark, sf_dir):
     )
 
 
+def q_geo_threshold_sweep(spark, sf_dir):
+    """Full percentile-threshold sweep (reference §3.3,
+    bkafi_with_threshold.py): recall / cand_pairs_num / reduction_ratio
+    at every percentile 0..0.995 step .005, one distributed pass."""
+    from ..config import THRESHOLD_PERCENTILES
+    from ..operators.knn import knn_join_broadcast
+    from ..operators.matching import (
+        matched_pair_vectors,
+        percentile_thresholds,
+        threshold_stats,
+    )
+    from ..operators.properties import pages_to_properties
+
+    props = pages_to_properties(
+        _geo_pages(spark, sf_dir), zoom=15, log1p=True
+    ).persist()
+    order = bkafi_feature_order(props)
+    dists, _ = matched_pair_vectors(props, order[:3])
+    thresholds = percentile_thresholds(dists, THRESHOLD_PERCENTILES)
+    cands_v, index_v = bkafi_vectors(props, order[:3])
+    cand_tbl = knn_join_broadcast(cands_v, index_v, 100, round_dists=7)
+    sc = (
+        props.groupBy("obj_id")
+        .agg(
+            F.max((F.col("source") == "cands").cast("int")).alias("c"),
+            F.max((F.col("source") == "index").cast("int")).alias("i"),
+        )
+        .agg(
+            F.sum("c").alias("n_c"),
+            F.sum("i").alias("n_i"),
+            F.sum(F.col("c") * F.col("i")).alias("n_int"),
+        )
+        .first()
+    )
+    stats = threshold_stats(
+        cand_tbl, thresholds, int(sc["n_c"]), int(sc["n_i"]), int(sc["n_int"])
+    )
+    return spark.createDataFrame(stats)
+
+
+def q_geo_seed_mean_recall(spark, sf_dir):
+    """3-seed blocking evaluation with seed-mean aggregation (reference
+    main.py:32-38 + utils.py:303-346): per-seed recall@k rows pivoted to
+    the mean over seeds."""
+    from ..operators.properties import pages_to_properties
+    from ..sources.results import seed_mean_results
+
+    li = _t(spark, sf_dir, "lineitem").count()
+    n_entities = max(30, li // 400)  # smaller per-seed set: 3 full runs
+    rows = []
+    for seed in (1, 2, 3):
+        pages = generate_pages_df(spark, n_entities, seed=seed)
+        props = pages_to_properties(pages, zoom=15, log1p=True)
+        res = run_bkafi_blocking(
+            props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM
+        )
+        for _, r in res.recall.iterrows():
+            rows.append(
+                (f"dim{int(r['bkafi_dim'])}", seed, f"recall_at_{int(r['k'])}",
+                 float(r["blocking_recall"]))
+            )
+    metrics = spark.createDataFrame(
+        rows, "model string, seed int, metric string, value double"
+    )
+    return seed_mean_results(metrics)
+
+
 def q_geo_centroid_knn(spark, sf_dir):
     from ..operators.blocking import centroid_blocking
 
@@ -887,6 +954,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
     "geo_blocking_fi": q_geo_blocking_fi,
+    "geo_threshold_sweep": q_geo_threshold_sweep,
+    "geo_seed_mean_recall": q_geo_seed_mean_recall,
 }
 
 ORACLE_SQL: dict[str, str] = {
