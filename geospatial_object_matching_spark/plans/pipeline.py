@@ -75,17 +75,53 @@ def run_pipeline(
 
     cands_v, index_v = bkafi_vectors(properties, feats, stats=scaler_stats)
     cands_v, index_v = cands_v.persist(), index_v.persist()
-    candidates = stage(
-        "candidates",
-        lambda: knn_join(cands_v, index_v, k, strategy=knn_strategy, conf=conf),
-        params={"dim": bkafi_dim, "k": k},
-    ).persist()
 
-    # threshold matcher (bkafi_with_threshold.py lifecycle)
-    dists, _ = matched_pair_vectors(properties, feats)
-    thresholds = percentile_thresholds(
-        dists, (0.5, 0.75, 0.9, 0.95, 0.99)
-    )
+    # three mutually independent job chains — kNN, threshold percentiles,
+    # side counts — submitted from driver threads so Spark schedules them
+    # concurrently: serialized driver-synchronized actions are the
+    # dominant non-scaling term once the kernels are fast (BENCH.md
+    # Amdahl note)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def job_candidates():
+        df = stage(
+            "candidates",
+            lambda: knn_join(cands_v, index_v, k, strategy=knn_strategy, conf=conf),
+            params={"dim": bkafi_dim, "k": k},
+        ).persist()
+        df.count()  # materialize inside the thread — that's the overlap
+        return df
+
+    def job_thresholds():
+        # threshold matcher (bkafi_with_threshold.py lifecycle)
+        dists, _ = matched_pair_vectors(properties, feats)
+        return percentile_thresholds(dists, (0.5, 0.75, 0.9, 0.95, 0.99))
+
+    def job_counts():
+        # one job for all three counts (cands, index, intersection)
+        row = (
+            properties.groupBy("obj_id")
+            .agg(
+                F.max((F.col("source") == "cands").cast("int")).alias("c"),
+                F.max((F.col("source") == "index").cast("int")).alias("i"),
+            )
+            .agg(
+                F.sum("c").alias("n_c"),
+                F.sum("i").alias("n_i"),
+                F.sum(F.col("c") * F.col("i")).alias("n_int"),
+            )
+            .first()
+        )
+        return int(row["n_c"]), int(row["n_i"]), int(row["n_int"])
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cand = pool.submit(job_candidates)
+        f_thr = pool.submit(job_thresholds)
+        f_cnt = pool.submit(job_counts)
+        candidates = f_cand.result()
+        thresholds = f_thr.result()
+        n_c, n_i, n_int = f_cnt.result()
+
     thr = thresholds[decision_percentile]
     matches = candidates.filter(F.col("dist") <= F.lit(thr)).withColumn(
         "label", (F.col("cand_id") == F.col("index_id")).cast("int")
@@ -100,28 +136,6 @@ def run_pipeline(
             ),
             params={"dim": bkafi_dim, "k": k},
         )
-
-    # one job for all three counts (cands, index, intersection) instead of
-    # a count + count + intersect-count chain — driver-synchronized jobs
-    # are pure serial time in the scaling budget
-    side_counts = (
-        properties.groupBy("obj_id")
-        .agg(
-            F.max((F.col("source") == "cands").cast("int")).alias("c"),
-            F.max((F.col("source") == "index").cast("int")).alias("i"),
-        )
-        .agg(
-            F.sum("c").alias("n_c"),
-            F.sum("i").alias("n_i"),
-            F.sum(F.col("c") * F.col("i")).alias("n_int"),
-        )
-        .first()
-    )
-    n_c, n_i, n_int = (
-        int(side_counts["n_c"]),
-        int(side_counts["n_i"]),
-        int(side_counts["n_int"]),
-    )
     stats = threshold_stats(candidates, thresholds, n_c, n_i, n_int)
 
     return {
