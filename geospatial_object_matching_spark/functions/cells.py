@@ -183,18 +183,47 @@ def polygon_area_2d(poly: np.ndarray) -> float:
     return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
 
 
+def polygon_area_signed(poly: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return float((np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def clipped_area_exact(poly: np.ndarray, xmin, ymin, xmax, ymax) -> float:
+    """Exact |simple polygon ∩ box| area via signed fan triangulation.
+
+    Sutherland–Hodgman clipping of a *concave* subject ring produces
+    degenerate bridge edges whose absolute shoelace over-counts. Instead,
+    fan-triangulate from v0 (triangles are convex, so SH clips each one
+    exactly and preserves orientation), clip each triangle against the box,
+    and sum the *signed* clipped areas: overlapping fan triangles with
+    opposite winding cancel exactly, yielding the true intersection area
+    for any simple polygon.
+    """
+    poly = np.asarray(poly, dtype=np.float64)
+    total = 0.0
+    v0 = poly[0]
+    for i in range(1, len(poly) - 1):
+        tri = np.array([v0, poly[i], poly[i + 1]], dtype=np.float64)
+        clipped = clip_polygon_to_box(tri, xmin, ymin, xmax, ymax)
+        total += polygon_area_signed(clipped)
+    return abs(total)
+
+
 def rasterize_footprint(poly_lonlat: np.ndarray, zoom: int):
     """Vector→raster: all tiles a footprint touches plus exact coverage
     fraction (clipped-area / tile-area). Returns list of
-    (tile_x, tile_y, coverage)."""
+    (tile_x, tile_y, coverage). Exact for any simple ring (convex or
+    concave) via signed fan-triangle clipping."""
     poly = np.asarray(poly_lonlat, dtype=np.float64).reshape(-1, 2)
     xs, ys = lonlat_to_tile(poly[:, 0], poly[:, 1], zoom)
     out = []
     for tx in range(int(xs.min()), int(xs.max()) + 1):
         for ty in range(int(ys.min()), int(ys.max()) + 1):
             lon_min, lat_min, lon_max, lat_max = tile_bounds(tx, ty, zoom)
-            clipped = clip_polygon_to_box(poly, lon_min, lat_min, lon_max, lat_max)
-            cov_area = polygon_area_2d(clipped)
+            cov_area = clipped_area_exact(poly, lon_min, lat_min, lon_max, lat_max)
             tile_area = (lon_max - lon_min) * (lat_max - lat_min)
             cov = cov_area / tile_area if tile_area > 0 else 0.0
             if cov > 0.0:

@@ -69,12 +69,20 @@ def test_hull_contains_mesh_volume_bound(pts):
     st.integers(0, 1000),
 )
 def test_rasterize_coverage_conserves_area(angles, rseed):
-    """Σ coverage × tile_area == polygon area for any simple (star-shaped)
-    ring — Sutherland–Hodgman's contract requires simple polygons, so the
-    generator builds strictly-increasing-angle rings."""
+    """Σ coverage × tile_area == polygon area for any SIMPLE ring.
+
+    Angle-sorted vertices alone do NOT guarantee simplicity (a wrap-around
+    angular gap > π lets the closing chord cross other edges — found by this
+    very test in round 1/2). Sufficient condition: every consecutive angular
+    gap, including the wrap, is < π; then each edge stays inside its own
+    convex wedge and edges can only meet at shared vertices.
+    """
     ang = np.sort(np.asarray(angles))
     if np.min(np.diff(ang)) < 1e-6:
         return
+    gaps = np.diff(np.concatenate([ang, [ang[0] + 2 * np.pi]]))
+    if np.max(gaps) >= np.pi - 1e-6:
+        return  # simplicity not guaranteed — out of the rasterizer's contract
     r = 0.0005 + 0.0015 * np.abs(np.sin(np.arange(len(ang)) + 1.0 + rseed))
     poly = np.stack(
         [4.3 + r * np.cos(ang), 52.07 + r * np.sin(ang)], axis=1
@@ -87,6 +95,49 @@ def test_rasterize_coverage_conserves_area(angles, rseed):
         b = tile_bounds(tx, ty, 18)
         total += cov * (b[2] - b[0]) * (b[3] - b[1])
     assert abs(total - area) <= 1e-9 + 1e-6 * area
+
+
+def _conservation_err(poly):
+    area = polygon_area_2d(poly)
+    total = 0.0
+    for tx, ty, cov in rasterize_footprint(poly, 18):
+        b = tile_bounds(tx, ty, 18)
+        total += cov * (b[2] - b[0]) * (b[3] - b[1])
+    return abs(total - area) / area
+
+
+def test_rasterize_concave_l_shape():
+    """Concave (L-shaped) building footprint — the round-1 rasterizer
+    over-counted these by +14% (Sutherland–Hodgman on a concave subject);
+    the signed-fan-triangle clip is exact."""
+    s = 0.002
+    base = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 3], [0, 3]], dtype=np.float64
+    )
+    poly = base * s + np.array([4.3, 52.07])
+    assert _conservation_err(poly) <= 1e-6
+
+
+def test_rasterize_concave_star():
+    """4-point star (alternating radii) spanning several tiles."""
+    ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    r = np.where(np.arange(8) % 2 == 0, 0.003, 0.0008)
+    poly = np.stack([4.3 + r * np.cos(ang), 52.07 + r * np.sin(ang)], axis=1)
+    assert _conservation_err(poly) <= 1e-6
+
+
+def test_rasterize_clockwise_ring_matches_ccw():
+    """Ring orientation must not change coverage."""
+    s = 0.002
+    base = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 3], [0, 3]], dtype=np.float64
+    )
+    poly = base * s + np.array([4.3, 52.07])
+    fwd = {(tx, ty): cov for tx, ty, cov in rasterize_footprint(poly, 18)}
+    rev = {(tx, ty): cov for tx, ty, cov in rasterize_footprint(poly[::-1], 18)}
+    assert fwd.keys() == rev.keys()
+    for k in fwd:
+        assert abs(fwd[k] - rev[k]) <= 1e-6
 
 
 @settings(max_examples=30, deadline=None)
