@@ -19,7 +19,6 @@ only in the signature kernels (Arrow-batched).
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -70,18 +69,46 @@ def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a | np.uint64(1), b  # odd multipliers: bijective mod 2^64
 
 
+#: polynomial base for shingle hashing (FNV-1a 64-bit prime — public constant)
+_SHINGLE_PRIME = np.uint64(1099511628211)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain avalanche mixer), vectorized.
+    Decorrelates the polynomial hashes of overlapping shingles so minhash
+    sees uniform 64-bit values."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of character k-shingles."""
-    if len(text) < k:
-        seeds = [text]
-    else:
-        seeds = [text[i : i + k] for i in range(len(text) - k + 1)]
-    out = np.empty(len(seeds), dtype=np.uint64)
-    for i, s in enumerate(seeds):
-        out[i] = int.from_bytes(
-            hashlib.md5(s.encode("utf-8", "ignore")).digest()[:8], "little"
-        )
-    return np.unique(out)
+    """Stable 64-bit hashes of byte k-shingles, fully vectorized.
+
+    Spec (the engine-defined signature contract, used verbatim by the
+    expected-output oracle): utf-8 bytes → sliding k-byte windows →
+    polynomial hash Σ b[j]·P^(k-1-j) mod 2^64 (P = FNV prime) → splitmix64
+    finalizer → distinct. One numpy pass per document (the round-1 kernel
+    ran one md5 per character position — ~10k Python-level md5 calls for a
+    10 kB doc; this is a single windowed multiply-sum)."""
+    b = np.frombuffer(
+        (text or "").encode("utf-8", "ignore"), dtype=np.uint8
+    ).astype(np.uint64)
+    if len(b) == 0:
+        b = np.zeros(1, dtype=np.uint64)
+    kk = min(k, len(b))
+    with np.errstate(over="ignore"):
+        powers = np.empty(kk, dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        for j in range(kk - 2, -1, -1):
+            powers[j] = powers[j + 1] * _SHINGLE_PRIME
+        # contiguous shifted-slice accumulation (k vector ops, no strided
+        # window matrix): h[i] = Σ_j b[i+j]·P^(k-1-j)
+        m = len(b) - kk + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(kk):
+            h += b[j : j + m] * powers[j]
+        return np.unique(_mix64(h))
 
 
 def minhash_signatures(
@@ -104,14 +131,23 @@ def minhash_signatures(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with np.errstate(over="ignore"):
+            tmp = np.empty(1 << 16, dtype=np.uint64)  # reused scratch
             for pdf in batches:
                 sigs = []
                 for text in pdf[text_col]:
                     sh = _shingle_hashes(text or "", shingle_k)
                     # universal-ish hash mod 2^64 (uint64 wraparound is the
-                    # modulus — fully vectorized, no python bigints)
-                    vals = sh[None, :] * a[:, None] + b[:, None]
-                    sigs.append(vals.min(axis=1).astype(np.int64))
+                    # modulus); per-hash pass into ONE reused buffer — no
+                    # (n_hashes × n_shingles) fresh allocation per doc
+                    if len(sh) > len(tmp):
+                        tmp = np.empty(len(sh), dtype=np.uint64)
+                    t = tmp[: len(sh)]
+                    sig = np.empty(n_hashes, dtype=np.uint64)
+                    for i in range(n_hashes):
+                        np.multiply(sh, a[i], out=t)
+                        t += b[i]
+                        sig[i] = t.min()
+                    sigs.append(sig.astype(np.int64))
                 yield pd.DataFrame(
                     {"doc_id": pdf[id_col].astype("int64"), "signature": sigs}
                 )
@@ -266,10 +302,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact jaccard over word n-gram sets, inverted-index join:
     explode distinct n-grams → self-join on gram → per-pair intersection
     count → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Scale guard (``max_df``): a single stop-phrase gram shared by 10⁶ docs
+    turns the self-join into 10¹² rows, so the inverted index drops grams
+    with document frequency > max_df *for candidate generation only* —
+    every reported pair's jaccard is still exact over the FULL gram sets
+    (array_intersect on the joined-back gram arrays). The only pairs that
+    can be missed are those whose common grams are ALL hotter than max_df
+    — the standard prefix-filter recall contract. ``max_df=None`` disables
+    the cap (fully exact).
 
     Pure DataFrame ops (no kernels): transform/slice build the n-grams."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -282,20 +328,30 @@ def ngram_jaccard_pairs(
     g = docs.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
         "n_grams", F.size("grams")
     )
-    exploded = g.select("id", "n_grams", F.explode("grams").alias("gram"))
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram"
+    exploded = g.select("id", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("gram")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("gram")
+        )
+        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"), "gram"
-    )
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    # exact verify on full gram sets (unaffected by the df cap)
+    ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"),
+                  F.col("n_grams").alias("n_a"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"),
+                  F.col("n_grams").alias("n_b"))
+    pairs = cand.join(ga, "id_a").join(gb, "id_b")
+    n_common = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
