@@ -6,14 +6,75 @@ The reference seeds ``np.random`` with ``seed + hash(cand_id) % 1e6``
 non-reproducible across runs, so the engine defines its own *stable*
 per-key scheme: every random draw is a pure function of (seed, key) via
 md5/xxhash, making all samples partition-count- and run-invariant
-(SURVEY.md §7 hard-part 4). Everything is column expressions or one
-position-join; no Python in the path.
+(SURVEY.md §7 hard-part 4).
+
+Scale note: both R1 and R2 need *global positions by a sort key* — the
+naive ``row_number() OVER (ORDER BY key)`` plans a single-task global
+sort of the whole table. ``with_global_positions`` replaces it with the
+distributed equivalent: range-repartition on the key, sort within
+partitions, per-partition local ranks (streamed, no shuffle) + a
+driver-side cumulative-offset map of ``num_partitions`` ints.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+
+def with_global_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "_pos",
+    partitions: int | None = None,
+) -> DataFrame:
+    """0-based global positions by ``order_cols`` (must be duplicate-free
+    across rows), computed distributedly.
+
+    Plan: repartitionByRange(order_cols) + sortWithinPartitions gives a
+    globally sorted layout; per-partition row counts (one tiny agg job)
+    become cumulative offsets broadcast to a mapInPandas that streams each
+    sorted partition once, adding ``offset[pid] + local_rank``. No
+    single-task Exchange anywhere; driver state is num_partitions ints.
+    """
+    spark = df.sparkSession
+    P = partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(P, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()  # pin range boundaries across the two jobs below
+    )
+    counts = (
+        parts.groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["count"])
+    bc = spark.sparkContext.broadcast(offsets)
+
+    schema = T.StructType(
+        list(parts.schema.fields) + [T.StructField(pos_col, T.LongType(), False)]
+    )
+
+    def add_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        pos = bc.value.get(pid, 0)
+        for pdf in batches:
+            out = pdf.copy()
+            out[pos_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    return parts.mapInPandas(add_pos, schema=schema)
 
 
 def sample_ids_fraction(
@@ -21,18 +82,32 @@ def sample_ids_fraction(
 ) -> DataFrame:
     """R2: deterministic ratio subsample — rank by md5(seed||id), keep the
     first ``floor(frac*n)`` (data_partition.py:40-53 semantics, seeded
-    choice-without-replacement)."""
+    choice-without-replacement).
+
+    Scale path: md5 is uniform on the hex space, so rows with hashes above
+    ``fraction·(1+margin)`` of the space cannot be in the sample — an
+    analytic prefix-cutoff filter (pushed to the scan) drops them before
+    the exact distributed ranking of the small superset. The margin covers
+    binomial variance; if the superset unexpectedly undershoots ``take``
+    (tiny inputs), fall back to ranking the full table.
+    """
     n = df.count()
     take = int(fraction * n)
+    if take <= 0:
+        return df.limit(0)
     ranked = df.withColumn(
         "_h", F.md5(F.concat(F.lit(str(seed) + "|"), F.col(id_col).cast("string")))
     )
-    w = Window.orderBy("_h")
-    return (
-        ranked.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= take)
-        .drop("_h", "_r")
-    )
+    frac_cut = (take / n) * 1.3 + 10.0 / n  # margin: 30% + 10 rows absolute
+    if frac_cut < 1.0:
+        cutoff = format(min(int(frac_cut * 16**8), 16**8 - 1), "08x")
+        superset = ranked.filter(F.col("_h") <= cutoff).persist()
+        if superset.count() < take:  # margin missed (degenerate n) — exact fallback
+            superset = ranked
+    else:
+        superset = ranked
+    pos = with_global_positions(superset, ["_h"])
+    return pos.filter(F.col("_pos") < take).drop("_h", "_pos")
 
 
 def negative_sample_pairs(
@@ -45,17 +120,17 @@ def negative_sample_pairs(
     """R1: per-candidate negative sampling without replacement.
 
     For each cand, draw ``n_neg`` distinct index ids ≠ cand (reference
-    data_partition.py:55-60) via hashed positions into a row-numbered index
+    data_partition.py:55-60) via hashed positions into a position-indexed
     table: pos_j = xxhash64(seed, cand_id, j) mod |I| for an oversampled
     j range, dedup per cand keeping draw order, take the first n_neg.
-    One equi-join on position — no cross join, fully distributed.
+    Index positions come from ``with_global_positions`` (distributed — no
+    global-sort window); the draw join is an equi-join on position.
     Positives (cand_id, cand_id) are unioned in, mirroring
     ``[(cand_id, cand_id)] + neg_pairs``.
     """
     n_index = index_ids.count()
-    idx = index_ids.select(
-        F.col(id_col).alias("index_id"),
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("_pos"),
+    idx = with_global_positions(
+        index_ids.select(F.col(id_col).alias("index_id")), ["index_id"]
     )
     oversample = 2 * n_neg + 10
     draws = cand_ids.select(F.col(id_col).alias("cand_id")).withColumn(
@@ -67,6 +142,7 @@ def negative_sample_pairs(
     )
     joined = draws.join(idx, "_pos").filter(F.col("index_id") != F.col("cand_id"))
     # dedup repeated positions per cand, keep earliest draw order
+    # (windows partitioned by cand_id — distributed, no global sort)
     w_dedup = Window.partitionBy("cand_id", "index_id").orderBy("_j")
     w_rank = Window.partitionBy("cand_id").orderBy("_j")
     negs = (
