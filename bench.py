@@ -77,9 +77,18 @@ def main() -> None:
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     n_entities = max(2000, li_rows // 10)
 
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     queries: dict[str, float] = {}
 
+    # min-of-N trials: this host's steal-time variance is 2-10x run to run
+    # (memory note "sandbox-performance-traps"); clearCache between trials
+    # so Spark's plan-equality CacheManager can't serve cached stages.
     geo = run_geo_pipeline(spark, sf_dir, n_entities)
+    for _ in range(trials - 1):
+        spark.catalog.clearCache()
+        g2 = run_geo_pipeline(spark, sf_dir, n_entities)
+        if g2["sec"] < geo["sec"]:
+            geo = g2
     queries["geo_pipeline"] = geo["sec"]
 
     for name in (
@@ -95,6 +104,10 @@ def main() -> None:
         "tumbling_window",
     ):
         t, _ = timed_count(EQ.QUERIES[name](spark, sf_dir))
+        for _ in range(trials - 1):
+            spark.catalog.clearCache()
+            t2, _ = timed_count(EQ.QUERIES[name](spark, sf_dir))
+            t = min(t, t2)
         queries[name] = round(t, 3)
 
     result = {

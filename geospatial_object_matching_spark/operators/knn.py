@@ -69,18 +69,30 @@ def knn_join_broadcast(
     id_col: str = "obj_id",
     features_col: str = "features",
     round_dists: int | None = 3,
-    index_chunk: int = 8192,
-    row_block: int = 512,
 ) -> DataFrame:
     """Exact kNN with the index side broadcast to every task.
 
-    Memory discipline: this sandbox (and any memory-overcommitted
-    executor) pays brutal first-touch page-fault costs on large fresh
-    numpy temporaries (measured: 0.55 s in-place vs 60 s fresh for the
-    same 91M-element op), so the kernel runs row-blocked × index-chunked
-    over ONE preallocated (row_block × index_chunk) distance buffer with
-    in-place ops, and top-k selection is per-row 1-D argpartition (small
-    allocations hit the glibc arena, never mmap)."""
+    Kernel (round-2 rewrite, the KDTree analog): the index is sorted ONCE
+    per task by its first coordinate; each query scans only the contiguous
+    window of rows whose dim-0 gap to the query is ≤ its current kth
+    distance, growing the window geometrically from an initial 4k rows.
+    Completeness is the 1-D gap bound (same argument as
+    ``knn_join_equidepth``): every row outside the window differs from the
+    query by > kth in dim 0 alone, so its full-space distance is > kth and
+    it cannot enter the top-k even on ties. On clustered data (scaled
+    BKAFI vectors, building centroids) the window is a few hundred rows
+    instead of the whole index — replacing the reference's KDTree query
+    (blocking.py:113-114) with contiguous vectorized numpy.
+
+    Memory discipline: the sandbox (and any memory-overcommitted executor)
+    pays brutal first-touch page-fault costs on large fresh numpy
+    temporaries, so the per-query temporaries are bounded by the window
+    size and the sorted index copy is made once per task.
+
+    Ties: selection keeps every row at the kth distance, then a final
+    (dist, id) lexsort picks the exact k — identical ordering to the
+    oracle's ``sorted(..., key=(dist, id))``.
+    """
     spark = cands.sparkSession
     idx_rows = index.select(id_col, features_col).collect()
     idx_ids = np.array([r[0] for r in idx_rows], dtype=object)
@@ -90,49 +102,53 @@ def knn_join_broadcast(
     bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
     k_eff = min(k, len(idx_ids))
 
-    # argpartition selects by dist only, so equal-dist ties at the k-th
-    # boundary could keep an id the (dist, id) order would reject; a guard
-    # band of 32 extra slots is carried through every chunk merge and the
-    # final per-row (dist, id) sort picks the exact k. Breaking this needs
-    # a >32-way exact float64 tie straddling the boundary — degenerate
-    # duplicate-vector data only.
-    guard = 32
-    k_keep = min(k_eff + guard, len(idx_ids))
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_i, mat_i = bc.value
         n_idx = len(ids_i)
-        dim = mat_i.shape[1]
-        ids_sortable = ids_i.astype(str)
-        cc = np.einsum("nd,nd->n", mat_i, mat_i)
-        # reused buffers — never reallocated; flat + reshape keeps the
-        # np.dot out= target C-contiguous for any (B, C) tail shape
-        C0 = min(index_chunk, n_idx)
-        dbuf = np.empty(row_block * C0)
-        fdiff = np.empty((n_idx, dim))
-        frow = np.empty(n_idx)
+        order0 = np.argsort(mat_i[:, 0], kind="stable")
+        x0s = np.ascontiguousarray(mat_i[order0, 0])
+        mat_s = np.ascontiguousarray(mat_i[order0])
+        ids_sort_s = ids_i[order0].astype(str)
+        win0 = max(4 * k_eff, 64)
 
-        def exact_row(qrow):
-            """Exact (dist, id) top-k over the full index for one row,
-            O(n) selection + O(k log k) sort; writes into reused buffers."""
-            np.subtract(mat_i, qrow, out=fdiff)
-            np.einsum("nd,nd->n", fdiff, fdiff, out=frow)
-            np.sqrt(frow, out=frow)
-            kth = np.partition(frow, k_eff - 1)[k_eff - 1]
-            below = np.flatnonzero(frow < kth)
-            tied = np.flatnonzero(frow == kth)
+        def _select_topk(d, lo):
+            """Exact (dist, id)-ordered top-k positions within a window's
+            distance array; returns window-relative indices."""
+            kth = np.partition(d, k_eff - 1)[k_eff - 1]
+            below = np.flatnonzero(d < kth)
+            tied = np.flatnonzero(d == kth)
             m = k_eff - len(below)
             if len(tied) > m:
-                tied = tied[np.argpartition(ids_sortable[tied], m - 1)[:m]]
+                ids_t = ids_sort_s[lo + tied]
+                tied = tied[np.argpartition(ids_t, m - 1)[:m]]
             near = np.concatenate([below, tied])
-            return near[np.lexsort((ids_sortable[near], frow[near]))][:k_eff]
+            return near[np.lexsort((ids_sort_s[lo + near], d[near]))][:k_eff]
 
-        # cache-resident index → row-at-a-time exact scan: the index
-        # matrix (n_idx × dim) stays hot in L2/L3 across rows, so the
-        # kernel is compute-bound and scales with cores, unlike the
-        # chunked-GEMM path whose (B × C) distance buffer traffic
-        # saturates memory bandwidth at high worker counts.
-        row_wise = n_idx * dim * 8 <= 4 << 20
+        def window_row(qrow):
+            """Exact (dist, id) top-k via dim0 window growth. Returns
+            (positions-into-sorted-order, dists aligned to positions)."""
+            q0 = qrow[0]
+            p = int(np.searchsorted(x0s, q0))
+            lo = max(0, p - win0)
+            hi = min(n_idx, p + win0)
+            while True:
+                seg = mat_s[lo:hi]
+                diff = seg - qrow
+                d = np.sqrt(np.einsum("nd,nd->n", diff, diff))
+                full = lo == 0 and hi == n_idx
+                if hi - lo >= k_eff:
+                    kth = np.partition(d, k_eff - 1)[k_eff - 1]
+                    gap_lo = q0 - x0s[lo - 1] if lo > 0 else np.inf
+                    gap_hi = x0s[hi] - q0 if hi < n_idx else np.inf
+                    if full or (gap_lo > kth and gap_hi > kth):
+                        sel = _select_topk(d, lo)
+                        return lo + sel, d[sel]
+                elif full:
+                    sel = np.lexsort((ids_sort_s, d))[: min(k_eff, hi - lo)]
+                    return sel, d[sel]
+                grow = hi - lo
+                lo = max(0, lo - grow)
+                hi = min(n_idx, hi + grow)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -140,91 +156,17 @@ def knn_join_broadcast(
             qall = np.array(list(pdf[features_col]), dtype=np.float64)
             if qall.ndim == 1:
                 qall = qall[:, None]
+            ids_col = pdf[id_col].to_numpy()
             out_c, out_i, out_r, out_d = [], [], [], []
-            if row_wise:
-                ids_col = pdf[id_col].to_numpy()
-                for bi in range(len(qall)):
-                    sub = exact_row(qall[bi])
-                    cid = ids_col[bi]
-                    for rank, j in enumerate(sub, start=1):
-                        out_c.append(cid)
-                        out_i.append(ids_i[j])
-                        out_r.append(rank)
-                        dd = float(frow[j])
-                        out_d.append(
-                            round(dd, round_dists) if round_dists else dd
-                        )
-                yield pd.DataFrame(
-                    {
-                        "cand_id": out_c,
-                        "index_id": out_i,
-                        "rank": out_r,
-                        "dist": out_d,
-                    }
-                )
-                continue
-            for r0 in range(0, len(qall), row_block):
-                q = qall[r0 : r0 + row_block]
-                B = len(q)
-                qq = np.einsum("bd,bd->b", q, q)
-                # per-row candidate pools (small arrays, arena-allocated)
-                pool_d = [None] * B
-                pool_pos = [None] * B
-                for s in range(0, n_idx, C0):
-                    chunk = mat_i[s : s + C0]
-                    C = len(chunk)
-                    d = dbuf[: B * C].reshape(B, C)
-                    # |a|²-2ab+|b|² into the reused buffer (selection
-                    # only; survivors get an exact recompute)
-                    np.dot(q, chunk.T, out=d)
-                    d *= -2.0
-                    d += qq[:, None]
-                    d += cc[s : s + C][None, :]
-                    np.maximum(d, 0.0, out=d)
-                    np.sqrt(d, out=d)
-                    take = min(k_keep, C)
-                    for bi in range(B):
-                        sel = np.argpartition(d[bi], take - 1)[:take]
-                        if pool_d[bi] is None:
-                            pool_d[bi] = d[bi, sel].copy()
-                            pool_pos[bi] = sel + s
-                        else:
-                            md = np.concatenate([pool_d[bi], d[bi, sel]])
-                            mp = np.concatenate([pool_pos[bi], sel + s])
-                            if len(md) > k_keep:
-                                keep = np.argpartition(md, k_keep - 1)[:k_keep]
-                                md, mp = md[keep], mp[keep]
-                            pool_d[bi], pool_pos[bi] = md, mp
-                for bi in range(B):
-                    cid = pdf[id_col].iloc[r0 + bi]
-                    pos = pool_pos[bi]
-                    # exact distances on the pool: sqrt(Σ(x-y)²) matches
-                    # the oracle's np.linalg.norm bit-for-bit in low dims
-                    diff = mat_i[pos] - q[bi]
-                    ed = np.sqrt(np.einsum("pd,pd->p", diff, diff))
-                    order = np.lexsort((ids_sortable[pos], ed))
-                    kth_d = ed[order[k_eff - 1]]
-                    pool_max = ed[order[-1]]
-                    if (
-                        len(pos) < n_idx
-                        and pool_max - kth_d <= 1e-9 * (1.0 + pool_max)
-                    ):
-                        # tie-run (or approx-selection uncertainty) may
-                        # cross the pool boundary → exact full scan;
-                        # common on discrete-feature tie plateaus
-                        sub = exact_row(q[bi])
-                        dsrc = frow
-                    else:
-                        sub = pos[order[:k_eff]]
-                        dsrc = None
-                    for rank, j in enumerate(sub, start=1):
-                        out_c.append(cid)
-                        out_i.append(ids_i[j])
-                        out_r.append(rank)
-                        dd = float(dsrc[j]) if dsrc is not None else float(
-                            ed[order[rank - 1]]
-                        )
-                        out_d.append(round(dd, round_dists) if round_dists else dd)
+            for bi in range(len(qall)):
+                sub, dsel = window_row(qall[bi])
+                cid = ids_col[bi]
+                for rank, (j, dd) in enumerate(zip(sub, dsel), start=1):
+                    out_c.append(cid)
+                    out_i.append(ids_i[order0[j]])
+                    out_r.append(rank)
+                    dd = float(dd)
+                    out_d.append(round(dd, round_dists) if round_dists else dd)
             yield pd.DataFrame(
                 {"cand_id": out_c, "index_id": out_i, "rank": out_r, "dist": out_d}
             )
