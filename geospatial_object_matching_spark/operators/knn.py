@@ -268,12 +268,14 @@ def knn_join_grid(
             if best is None
             else best.select("cand_id", "index_id", "dist").unionByName(new_pairs)
         )
+        # localCheckpoint truncates lineage: the loop otherwise nests every
+        # previous round's plan inside the next (plan size grows
+        # exponentially with rounds — OOMs Catalyst at ~10 rounds)
         round_best = (
             round_best.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        round_best.count()
         if best is not None:
             best.unpersist()
         best = round_best
@@ -287,8 +289,7 @@ def knn_join_grid(
         ).select("cand_id")
         new_remaining = remaining.join(
             done_ids, remaining["cand_id"] == done_ids["cand_id"], "left_anti"
-        ).persist()
-        new_remaining.count()
+        ).localCheckpoint(eager=True)
         remaining.unpersist()
         remaining = new_remaining
 
@@ -392,6 +393,24 @@ def knn_join_equidepth(
             np.searchsorted(bc_bounds.value, x.to_numpy(), side="right")
         )
 
+    @pandas_udf("double")
+    def _gap_udf(x0: pd.Series, cbin: pd.Series, rr: pd.Series) -> pd.Series:
+        """min(dim-0 distance to the nearest UNsearched bin boundary) after
+        searching bins [cbin-r, cbin+r]; edges -> inf. Boundaries come from
+        the broadcast, so the plan carries zero literals."""
+        b = bc_bounds.value
+        nb = len(b)
+        x = x0.to_numpy(dtype=np.float64)
+        c = cbin.to_numpy(dtype=np.int64)
+        r_ = rr.to_numpy(dtype=np.int64)
+        if nb == 0:
+            return pd.Series(np.full(len(x), np.inf))
+        lo_i = c - r_ - 1
+        hi_i = c + r_
+        gb = np.where(lo_i >= 0, x - b[np.clip(lo_i, 0, nb - 1)], np.inf)
+        ga = np.where(hi_i <= nb - 1, b[np.clip(hi_i, 0, nb - 1)] - x, np.inf)
+        return pd.Series(np.minimum(gb, ga))
+
     idx = (
         index.select(
             F.col(id_col).alias("index_id"), F.col(features_col).alias("_fi")
@@ -424,14 +443,19 @@ def knn_join_equidepth(
         if remaining.isEmpty():
             break
         r_prev, r = radii[round_i - 1], radii[round_i]
+        # shell offsets as a runtime sequence() (plan size constant in r —
+        # a literal array would put O(n_bins) expressions into the plan)
         if round_i == 1:
-            shell = list(range(-r, r + 1))  # first round includes bin 0
+            shell_expr = F.sequence(F.lit(-r), F.lit(r))
         else:
-            shell = [s for m in range(r_prev + 1, r + 1) for s in (-m, m)]
-        probes = (
-            remaining.withColumn(
-                "_off", F.explode(F.array(*[F.lit(s) for s in shell]))
+            shell_expr = F.flatten(
+                F.array(
+                    F.sequence(F.lit(-r), F.lit(-(r_prev + 1))),
+                    F.sequence(F.lit(r_prev + 1), F.lit(r)),
+                )
             )
+        probes = (
+            remaining.withColumn("_off", F.explode(shell_expr))
             .withColumn("_pbin", F.col("_off") + F.col("_bin"))
             .filter((F.col("_pbin") >= 0) & (F.col("_pbin") < n_bins))
         )
@@ -449,31 +473,23 @@ def knn_join_equidepth(
         round_best = (
             new_pairs if carried is None else carried.unionByName(new_pairs)
         )
+        # localCheckpoint truncates lineage: the loop otherwise nests every
+        # previous round's plan inside the next (plan size grows
+        # exponentially with rounds — OOMs Catalyst at ~10 rounds)
         round_best = (
             round_best.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        round_best.count()
         if best is not None:
             best.unpersist()
         best = round_best
 
-        # retirement: kth distance strictly below the boundary gap
-        lo = F.col("_cbin") - r
-        hi = F.col("_cbin") + r + 1
-        arr = F.array(*[F.lit(v) for v in interior]) if interior else None
-        if arr is not None:
-            gap_below = F.when(
-                lo >= 1, F.col("_x0") - F.element_at(arr, lo.cast("int"))
-            ).otherwise(F.lit(float("inf")))
-            gap_above = F.when(
-                hi <= len(interior),
-                F.element_at(arr, hi.cast("int")) - F.col("_x0"),
-            ).otherwise(F.lit(float("inf")))
-            gap = F.least(gap_below, gap_above)
-        else:
-            gap = F.lit(float("inf"))
+        # retirement: kth distance strictly below the boundary gap.
+        # Boundaries live in a broadcast variable read by a pandas_udf —
+        # NOT as plan literals (n_bins can be millions at scale; a literal
+        # array would explode the Catalyst plan).
+        gap = _gap_udf(F.col("_x0"), F.col("_cbin"), F.lit(r))
         stats = best.groupBy("cand_id").agg(
             F.count("*").alias("_n"),
             F.max("dist").alias("_kth"),
@@ -483,8 +499,9 @@ def knn_join_equidepth(
         done = stats.filter(
             (F.col("_n") >= F.lit(min(k, n_index))) & (F.col("_kth") < gap)
         ).select("cand_id")
-        new_remaining = remaining.join(done, "cand_id", "left_anti").persist()
-        new_remaining.count()
+        new_remaining = remaining.join(done, "cand_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         remaining.unpersist()
         remaining = new_remaining
 

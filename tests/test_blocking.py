@@ -203,6 +203,40 @@ class TestBlocking:
         )
         np.testing.assert_allclose(b["dist"], e["dist"], atol=1e-9)
 
+    def test_equidepth_many_bins_equals_broadcast(self, spark):
+        """One bin per index row (n_bins == n_index): exercises the
+        runtime-sequence shell + broadcast-boundary gap udf (round-2
+        de-literaling) — the plan must not embed per-bin literals and the
+        result must still be exact."""
+        import pyspark.sql.functions as F
+
+        n_i, n_c = 600, 80
+        idx = spark.range(n_i).select(
+            F.concat(F.lit("i"), F.col("id")).alias("obj_id"),
+            F.array(
+                (F.col("id") * 0.01),
+                F.sin(F.col("id").cast("double")),
+                F.cos(F.col("id").cast("double") * 0.7),
+            ).alias("features"),
+        )
+        cand = spark.range(n_c).select(
+            F.concat(F.lit("c"), F.col("id")).alias("obj_id"),
+            F.array(
+                (F.col("id") * 0.07 + 0.003),
+                F.sin(F.col("id").cast("double") * 1.3),
+                F.cos(F.col("id").cast("double")),
+            ).alias("features"),
+        )
+        b = knn_join_broadcast(cand, idx, 5).toPandas()
+        e = knn_join_equidepth(cand, idx, 5, rows_per_bin=1).toPandas()
+        key = ["cand_id", "rank"]
+        b = b.sort_values(key).reset_index(drop=True)
+        e = e.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["cand_id", "index_id", "rank"]], e[["cand_id", "index_id", "rank"]]
+        )
+        np.testing.assert_allclose(b["dist"], e["dist"], atol=1e-9)
+
     def test_centroid_blocking_matches_oracle(self, objects, oracle_state):
         _, od, _ = oracle_state
         cands = {i: r["centroid"] for i, r in od["cands"].items()}
