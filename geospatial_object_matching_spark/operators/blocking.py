@@ -79,6 +79,7 @@ def bkafi_vectors(
     properties: DataFrame,
     features: list[str],
     stats: dict[str, tuple[float, float]] | None = None,
+    sdr_factors: dict[str, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(cands_df, index_df) with a scaled ``features`` array column.
 
@@ -87,10 +88,19 @@ def bkafi_vectors(
     point, expressed as Catalyst column pruning). Pass precomputed
     ``stats`` (robust_scaler_fit on the cands side) to reuse one fit
     across many dims — per-feature stats are independent, so a dim-d
-    vector slices the dim-D fit."""
+    vector slices the dim-D fit.
+
+    ``sdr_factors`` (F3, reference blocking.py:166-174): systematic-
+    discrepancy-ratio correction — each cand-side value is multiplied by
+    that feature's train mean index/cand ratio (rounded 3, as
+    property_ratio_stats reports it) BEFORE the scaler fit; the index side
+    is untouched (factor 1.0). A broadcast-free pure column multiply."""
     proj = properties.select("obj_id", "source", *features)
     cands = proj.filter(F.col("source") == "cands")
     index = proj.filter(F.col("source") == "index")
+    if sdr_factors is not None:
+        for f in features:
+            cands = cands.withColumn(f, F.col(f) * F.lit(float(sdr_factors[f])))
     if stats is None:
         stats = robust_scaler_fit(cands, features)  # fit on cands only
     stats = {f: stats[f] for f in features}
@@ -120,21 +130,39 @@ def run_bkafi_blocking(
     feature_order: list[str] | None = None,
     strategy: str = "auto",
     conf: EngineConf = DEFAULT_CONF,
+    sdr_factor: bool = False,
 ) -> BlockingResult:
     """Full BKAFI blocking evaluation across ``dims``: one kNN join per
-    dim at k=nn_param; per-k candidate sets are rank filters."""
-    properties = properties.persist()
-    order = feature_order or bkafi_feature_order(properties, criterion)
+    dim at k=nn_param; per-k candidate sets are rank filters.
 
-    # one scaler fit covers every dim (per-feature stats are independent)
-    max_feats = order[: max(dims)]
-    stats = robust_scaler_fit(
-        properties.filter(F.col("source") == "cands"), max_feats
+    ``sdr_factor=True`` enables the F3 correction (reference run flag
+    ``--sdr_factor``, blocking.py:166-174): cand vectors are multiplied by
+    the per-feature train mean ratio before scaling."""
+    properties = properties.persist()
+    ratio_stats = property_ratio_stats(properties)
+    order = feature_order or (
+        [s["property"] for s in ratio_stats]
+        if criterion == "std"
+        else bkafi_feature_order(properties, criterion)
     )
+    factors = (
+        {s["property"]: s["mean"] for s in ratio_stats} if sdr_factor else None
+    )
+
+    # one scaler fit covers every dim (per-feature stats are independent);
+    # under SDR the fit must see the factor-multiplied cand values
+    max_feats = order[: max(dims)]
+    fit_src = properties.filter(F.col("source") == "cands")
+    if factors is not None:
+        for f in max_feats:
+            fit_src = fit_src.withColumn(f, F.col(f) * F.lit(float(factors[f])))
+    stats = robust_scaler_fit(fit_src, max_feats)
 
     per_dim = []
     for dim in dims:
-        cands, index = bkafi_vectors(properties, order[:dim], stats=stats)
+        cands, index = bkafi_vectors(
+            properties, order[:dim], stats=stats, sdr_factors=factors
+        )
         nn = knn_join(
             cands, index, nn_param, strategy=strategy, conf=conf
         ).withColumn("bkafi_dim", F.lit(dim))

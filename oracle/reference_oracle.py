@@ -368,16 +368,21 @@ def knn_join(cands: dict, index: dict, k: int, round_dists: int = 3):
     return out
 
 
-def bkafi_vectors(prop_dict, feature_order, dim):
+def bkafi_vectors(prop_dict, feature_order, dim, sdr_factors=None):
     """Top-``dim`` features (already sorted by criterion) → per-object
-    vectors (blocking.py:154-164, factor 1.0 = no SDR)."""
+    vectors (blocking.py:154-174). ``sdr_factors`` maps feature → train
+    mean ratio applied to the CANDS side only (sdr_factor=True run flag);
+    None = factor 1.0 everywhere."""
     feats = feature_order[:dim]
     cands = {}
     index = {}
     for obj_type, store in (("cands", cands), ("index", index)):
         ids = prop_dict[feats[0]][obj_type].keys()
         for oid in ids:
-            store[oid] = [prop_dict[f][obj_type][oid] for f in feats]
+            vals = [prop_dict[f][obj_type][oid] for f in feats]
+            if sdr_factors is not None and obj_type == "cands":
+                vals = [v * sdr_factors[f] for v, f in zip(vals, feats)]
+            store[oid] = vals
     return cands, index
 
 

@@ -174,6 +174,48 @@ class TestBlocking:
                 ]["blocking_recall"].iloc[0]
                 assert got == pytest.approx(expected, abs=1e-9), f"dim={dim} k={k}"
 
+    def test_sdr_factor_pairs_match_oracle(self, properties, oracle_state):
+        """F3 (reference blocking.py:166-174, --sdr_factor flag): cand
+        vectors multiplied by the train mean ratio before scaling. Engine
+        pair sets must match the numpy oracle run with the same factors,
+        and the factors must actually change the result (the synthetic
+        index source has a systematic scale discrepancy)."""
+        _, od, prop_dict = oracle_state
+        ratios = O.property_ratios(prop_dict)
+        order = list(ratios.keys())
+        factors = {p: ratios[p]["mean"] for p in order}
+        cands, index = O.bkafi_vectors(prop_dict, order, 3, sdr_factors=factors)
+        oracle_nn = O.knn_join(cands, index, k=21)
+
+        res = run_bkafi_blocking(
+            properties, dims=[3], strategy="broadcast", sdr_factor=True
+        )
+        pairs = res.candidates.toPandas()
+        for k in (1, 5, 20):
+            engine_pairs = set(
+                map(
+                    tuple,
+                    pairs[pairs["rank"] <= k][["cand_id", "index_id"]].values,
+                )
+            )
+            oracle_pairs = {
+                (cid, iid)
+                for cid, lst in oracle_nn.items()
+                for iid, _ in lst[:k]
+            }
+            assert engine_pairs == oracle_pairs, f"k={k}"
+
+        plain = run_bkafi_blocking(
+            properties, dims=[3], strategy="broadcast"
+        ).candidates.toPandas()
+        plain_pairs = set(
+            map(tuple, plain[plain["rank"] <= 20][["cand_id", "index_id"]].values)
+        )
+        sdr_pairs = set(
+            map(tuple, pairs[pairs["rank"] <= 20][["cand_id", "index_id"]].values)
+        )
+        assert sdr_pairs != plain_pairs
+
     def test_grid_strategy_equals_broadcast(self, properties):
         order = bkafi_feature_order(properties)
         cands, index = bkafi_vectors(properties, order[:3])
