@@ -34,7 +34,7 @@ _GEO_RE = (
 )
 
 
-def objects_schema(keep_text: bool) -> T.StructType:
+def objects_schema(keep_text: bool, keep_ts: bool = False) -> T.StructType:
     fields = [
         T.StructField("obj_id", T.StringType(), False),
         T.StructField("source", T.StringType(), False),
@@ -52,6 +52,8 @@ def objects_schema(keep_text: bool) -> T.StructType:
     ]
     if keep_text:
         fields.append(T.StructField("text", T.StringType(), True))
+    if keep_ts:
+        fields.append(T.StructField("warc_ts", T.TimestampType(), True))
     return T.StructType(fields)
 
 
@@ -95,18 +97,23 @@ def extract_objects(
     zoom: int = 15,
     min_surfaces: int = MIN_SURFACES_NUM,
     keep_text: bool = False,
+    keep_ts: bool = False,
 ) -> DataFrame:
     """Parse serialized geospatial objects out of page text.
 
-    Column pruning matters at 100 TB: only ``url``/``text`` are read from
-    the scan (``html`` never leaves parquet).
+    Column pruning matters at 100 TB: only ``url``/``text`` (plus
+    ``warc_ts`` when ``keep_ts`` — the streaming event-time carrier) are
+    read from the scan (``html`` never leaves parquet).
     """
-    schema = objects_schema(keep_text)
+    schema = objects_schema(keep_text, keep_ts)
     col_names = [f.name for f in schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {name: [] for name in col_names}
+            ts_by_url = (
+                dict(zip(pdf["url"], pdf["warc_ts"])) if keep_ts else None
+            )
             for oid, src, url, lat, lon, coords, offsets, text in parse_pages_batch(
                 pdf, min_surfaces
             ):
@@ -130,11 +137,14 @@ def extract_objects(
                 rows["cell_res"].append(zoom)
                 if keep_text:
                     rows["text"].append(text)
+                if keep_ts:
+                    rows["warc_ts"].append(ts_by_url[url])
             if rows["obj_id"]:
                 yield pd.DataFrame(rows)[col_names]
 
     # prune to exactly the columns the kernel touches before the UDF
-    return pages.select("url", "text").mapInPandas(kernel, schema=schema)
+    cols = ["url", "text"] + (["warc_ts"] if keep_ts else [])
+    return pages.select(*cols).mapInPandas(kernel, schema=schema)
 
 
 def standardize_ids(objects: DataFrame) -> DataFrame:
