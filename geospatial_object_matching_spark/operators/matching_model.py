@@ -179,19 +179,28 @@ def train_matcher(
 ) -> RandomForestMatcher:
     """Collect the (bounded) train pair table and fit on driver
     (reference lifecycle §3.2: GridSearchCV.fit on numpy)."""
-    pdf = features_df.select(*feature_cols, label_col).toPandas()
-    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    sort_cols = [
+        c for c in ("cand_id", "index_id") if c in features_df.columns
+    ] or list(feature_cols)
+    pdf = (
+        features_df.select(*sort_cols, *feature_cols, label_col)
+        .toPandas()
+        .sort_values(sort_cols, kind="mergesort")  # partition-order-proof fit
+        .reset_index(drop=True)
+    )
+    X = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
     y = pdf[label_col].to_numpy(dtype=np.int64)
     return RandomForestMatcher(**kwargs).fit(X, y, feature_cols)
 
 
 def predict_matches(
-    model: RandomForestMatcher,
+    model,
     features_df: DataFrame,
     feature_cols: list[str],
     keep_cols: tuple[str, ...] = ("cand_id", "index_id"),
 ) -> DataFrame:
-    """Broadcast model → Arrow-batched scoring (M2: batch predict)."""
+    """Broadcast model → Arrow-batched scoring (M2: batch predict).
+    Accepts any backbone with ``to_dict()`` (see ``model_from_dict``)."""
     spark = features_df.sparkSession
     bc = spark.sparkContext.broadcast(model.to_dict())
     schema = T.StructType(
@@ -203,10 +212,7 @@ def predict_matches(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state = bc.value
-        m = RandomForestMatcher()
-        m.trees = state["trees"]
-        m.feature_names = state["feature_names"]
+        m = model_from_dict(bc.value)
         for pdf in batches:
             X = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
             proba = m.predict_proba(X)
@@ -253,3 +259,237 @@ def learned_feature_order(
     ratio_cols = [f"{p}_ratio" for p in OBJECT_PROPERTIES]
     model = train_matcher(feats, ratio_cols, **rf_kwargs)
     return feature_importance_order(model), model
+
+
+# ----------------------------------------------------------------------
+# second backbone: gradient-boosted trees (GradientBoostingClassifier
+# analog, reference config.py:107-114) + cv grid search (classifier.py:
+# 152-163, GridSearchCV cv=3, macro-F1 scorer)
+# ----------------------------------------------------------------------
+
+
+def _best_split_reg(X, r, feat_idx, n_bins=32):
+    """Best (feature, threshold) minimizing squared error of a residual
+    fit, via binned sums (one pass per feature)."""
+    n = len(r)
+    tot_sum = r.sum()
+    best = (None, None, -1.0)
+    for f in feat_idx:
+        x = X[:, f]
+        qs = np.unique(np.quantile(x, np.linspace(0.02, 0.98, n_bins)))
+        if len(qs) < 2:
+            continue
+        bins = np.searchsorted(qs, x, side="right")
+        s = np.zeros(len(qs) + 1)
+        c = np.zeros(len(qs) + 1)
+        np.add.at(s, bins, r)
+        np.add.at(c, bins, 1.0)
+        ls = np.cumsum(s)[:-1]
+        lc = np.cumsum(c)[:-1]
+        rs = tot_sum - ls
+        rc = n - lc
+        valid = (lc > 0) & (rc > 0)
+        if not valid.any():
+            continue
+        # variance reduction ∝ sum_l²/n_l + sum_r²/n_r
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = np.where(valid, ls**2 / lc + rs**2 / rc, -np.inf)
+        t = int(score.argmax())
+        if score[t] > best[2]:
+            best = (f, float(qs[t]), float(score[t]))
+    return best[0], best[1]
+
+
+def _fit_reg_tree(X, g, h, max_depth, min_samples):
+    """Regression tree on gradients with Newton leaf values
+    (sum(g)/sum(h)); flat node list like _fit_tree."""
+    nodes = []
+
+    def grow(idx, depth):
+        node_id = len(nodes)
+        nodes.append(None)
+        gs, hs = g[idx].sum(), h[idx].sum()
+        val = gs / hs if hs > 0 else 0.0
+        if depth >= max_depth or len(idx) < min_samples:
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        f, thr = _best_split_reg(X[idx], g[idx], np.arange(X.shape[1]))
+        if f is None:
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        mask = X[idx, f] <= thr
+        if mask.all() or not mask.any():
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        left = grow(idx[mask], depth + 1)
+        right = grow(idx[~mask], depth + 1)
+        nodes[node_id] = (f, thr, left, right, val)
+        return node_id
+
+    grow(np.arange(len(g)), 0)
+    return nodes
+
+
+def _sigmoid(z):
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+class GradientBoostingMatcher:
+    """Logistic-loss gradient boosting over shallow regression trees
+    (GradientBoostingClassifier analog; Newton leaf steps)."""
+
+    kind = "gb"
+
+    def __init__(
+        self,
+        n_rounds: int = 60,
+        max_depth: int = 3,
+        learning_rate: float = 0.1,
+        min_samples: int = 3,
+        seed: int = 1,
+    ):
+        self.n_rounds = n_rounds
+        self.max_depth = max_depth
+        self.learning_rate = learning_rate
+        self.min_samples = min_samples
+        self.seed = seed
+        self.trees: list = []
+        self.f0: float = 0.0
+        self.feature_names: list[str] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray, feature_names: list[str]):
+        self.feature_names = list(feature_names)
+        y = y.astype(np.float64)
+        p0 = min(max(y.mean(), 1e-6), 1 - 1e-6)
+        self.f0 = float(np.log(p0 / (1 - p0)))
+        F_val = np.full(len(y), self.f0)
+        self.trees = []
+        for _ in range(self.n_rounds):
+            p = _sigmoid(F_val)
+            g = y - p
+            h = p * (1 - p)
+            tree = _fit_reg_tree(X, g, h, self.max_depth, self.min_samples)
+            step = _predict_tree(tree, X)
+            F_val = F_val + self.learning_rate * step
+            self.trees.append(tree)
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        F_val = np.full(len(X), self.f0)
+        for tree in self.trees:
+            F_val = F_val + self.learning_rate * _predict_tree(tree, X)
+        return _sigmoid(F_val)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.predict_proba(X) >= 0.5).astype(np.int32)
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "trees": self.trees,
+            "f0": self.f0,
+            "lr": self.learning_rate,
+            "feature_names": self.feature_names,
+        }
+
+
+def model_from_dict(state: dict):
+    """Rebuild a broadcastable matcher from its to_dict() state."""
+    if state.get("kind") == "gb":
+        m = GradientBoostingMatcher()
+        m.trees = state["trees"]
+        m.f0 = state["f0"]
+        m.learning_rate = state["lr"]
+        m.feature_names = state["feature_names"]
+        return m
+    m = RandomForestMatcher()
+    m.trees = state["trees"]
+    m.feature_names = state["feature_names"]
+    return m
+
+
+# ----------------------------------------------------------------------
+# cv grid search (classifier.py:152-163: GridSearchCV(cv=3, macro-F1))
+# ----------------------------------------------------------------------
+
+MATCHER_BACKBONES = {
+    "RandomForestMatcher": RandomForestMatcher,
+    "GradientBoostingMatcher": GradientBoostingMatcher,
+}
+
+#: small grids in the reference's param_dict shape (config.py:79-128)
+DEFAULT_PARAM_GRIDS = {
+    "RandomForestMatcher": {"n_trees": [15, 30], "max_depth": [5, 8]},
+    "GradientBoostingMatcher": {
+        "n_rounds": [40, 80],
+        "learning_rate": [0.1, 0.3],
+        "max_depth": [3],
+    },
+}
+
+
+def _f1_macro(y_true, y_pred) -> float:
+    """Macro-averaged binary F1 (the reference's GridSearchCV scorer)."""
+    f1s = []
+    for cls in (0, 1):
+        tp = float(np.sum((y_pred == cls) & (y_true == cls)))
+        fp = float(np.sum((y_pred == cls) & (y_true != cls)))
+        fn = float(np.sum((y_pred != cls) & (y_true == cls)))
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
+    return float(np.mean(f1s))
+
+
+def _param_combos(grid: dict) -> list[dict]:
+    keys = sorted(grid)
+    combos = [{}]
+    for k in keys:
+        combos = [dict(c, **{k: v}) for c in combos for v in grid[k]]
+    return combos
+
+
+def _stratified_folds(y: np.ndarray, cv: int, seed: int):
+    """Deterministic stratified k-fold index arrays."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    folds = [[] for _ in range(cv)]
+    for cls in np.unique(y):
+        idx = np.flatnonzero(y == cls)
+        rng.shuffle(idx)
+        for i, chunk in enumerate(np.array_split(idx, cv)):
+            folds[i].extend(chunk.tolist())
+    return [np.array(sorted(f)) for f in folds]
+
+
+def cv_grid_search(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_names: list[str],
+    param_grids: dict | None = None,
+    cv: int = 3,
+    seed: int = 1,
+):
+    """Per-backbone GridSearchCV analog: best params by mean macro-F1 over
+    stratified folds; refit the winner on all rows. Returns
+    {backbone: {"model", "best_params", "cv_f1"}}."""
+    grids = param_grids or DEFAULT_PARAM_GRIDS
+    folds = _stratified_folds(y, cv, seed)
+    out = {}
+    for name, grid in grids.items():
+        cls = MATCHER_BACKBONES[name]
+        best = (None, -1.0)
+        for params in _param_combos(grid):
+            scores = []
+            for i in range(cv):
+                test_idx = folds[i]
+                train_idx = np.concatenate([folds[j] for j in range(cv) if j != i])
+                m = cls(seed=seed, **params).fit(
+                    X[train_idx], y[train_idx], feature_names
+                )
+                scores.append(_f1_macro(y[test_idx], m.predict(X[test_idx])))
+            mean_f1 = float(np.mean(scores))
+            if mean_f1 > best[1]:
+                best = (params, mean_f1)
+        model = cls(seed=seed, **best[0]).fit(X, y, feature_names)
+        out[name] = {"model": model, "best_params": best[0], "cv_f1": best[1]}
+    return out

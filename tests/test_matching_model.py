@@ -2,6 +2,7 @@
 feature-importance criterion wiring."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -178,3 +179,93 @@ class TestSparkPredict:
         )
         m = train_matcher(df, [f"f{i}" for i in range(5)], n_trees=10, seed=2)
         assert m.feature_importance_ranking()[0][0] == "f2"
+
+
+class TestSecondBackboneAndLifecycle:
+    """Round-2 M1 parity: gradient-boosted backbone, cv grid search, and
+    the composed matching-quality lifecycle (reference classifier.py:
+    106-176, data_partition.py:374-415)."""
+
+    def _planted(self, n=400, d=6, noise=0.0, seed=3):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(0, 1, (n, d))
+        y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.int64)
+        if noise:
+            flip = rng.random(n) < noise
+            y = np.where(flip, 1 - y, y)
+        return X, y
+
+    def test_gb_separable_f1_is_1(self):
+        from geospatial_object_matching_spark.operators.matching_model import (
+            GradientBoostingMatcher,
+            _f1_macro,
+        )
+
+        X, y = self._planted()
+        m = GradientBoostingMatcher(n_rounds=60, learning_rate=0.3).fit(
+            X, y, [f"f{i}" for i in range(X.shape[1])]
+        )
+        assert _f1_macro(y, m.predict(X)) == 1.0
+
+    def test_cv_grid_search_returns_both_backbones(self):
+        from geospatial_object_matching_spark.operators.matching_model import (
+            cv_grid_search,
+        )
+
+        X, y = self._planted(n=240, noise=0.1)
+        out = cv_grid_search(X, y, [f"f{i}" for i in range(X.shape[1])], cv=3)
+        assert set(out) == {"RandomForestMatcher", "GradientBoostingMatcher"}
+        for v in out.values():
+            assert v["cv_f1"] > 0.7
+            assert v["best_params"]
+
+    def test_gb_distributed_predict_equals_local(self, spark):
+        from geospatial_object_matching_spark.operators.matching_model import (
+            GradientBoostingMatcher,
+            predict_matches,
+        )
+
+        X, y = self._planted(n=300)
+        cols = [f"f{i}" for i in range(X.shape[1])]
+        m = GradientBoostingMatcher(n_rounds=25).fit(X, y, cols)
+        pdf = pd.DataFrame(X, columns=cols)
+        pdf["cand_id"] = [f"c{i}" for i in range(len(pdf))]
+        pdf["index_id"] = [f"i{i}" for i in range(len(pdf))]
+        df = spark.createDataFrame(pdf).repartition(7)
+        got = (
+            predict_matches(m, df, cols)
+            .toPandas()
+            .sort_values("cand_id")
+            .reset_index(drop=True)
+        )
+        order = got["cand_id"].str.slice(1).astype(int).to_numpy()
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), m.predict_proba(X[order]), rtol=0, atol=0
+        )
+
+    def test_matching_quality_lifecycle(self, spark):
+        from geospatial_object_matching_spark.operators.properties import (
+            pages_to_properties,
+        )
+        from geospatial_object_matching_spark.plans.matching_quality import (
+            run_matching_quality,
+        )
+        from geospatial_object_matching_spark.sources.pages import (
+            generate_pages_df,
+        )
+
+        pages = generate_pages_df(spark, 120, seed=42)
+        props = pages_to_properties(pages, zoom=15, log1p=True)
+        res = run_matching_quality(spark, props, bkafi_dim=3, n_neg=2, seed=1)
+        assert set(res["model"]) == {
+            "RandomForestMatcher",
+            "GradientBoostingMatcher",
+        }
+        # synthetic matched pairs are cleanly separable from hard negatives
+        assert (res["f1"] > 0.9).all(), res
+        # determinism: a second run returns identical rows
+        res2 = run_matching_quality(spark, props, bkafi_dim=3, n_neg=2, seed=1)
+        pd.testing.assert_frame_equal(
+            res.sort_values("model").reset_index(drop=True),
+            res2.sort_values("model").reset_index(drop=True),
+        )
