@@ -182,8 +182,9 @@ def train_matcher(
     sort_cols = [
         c for c in ("cand_id", "index_id") if c in features_df.columns
     ] or list(feature_cols)
+    cols = list(dict.fromkeys([*sort_cols, *feature_cols, label_col]))
     pdf = (
-        features_df.select(*sort_cols, *feature_cols, label_col)
+        features_df.select(*cols)
         .toPandas()
         .sort_values(sort_cols, kind="mergesort")  # partition-order-proof fit
         .reset_index(drop=True)
