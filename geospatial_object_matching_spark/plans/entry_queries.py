@@ -910,6 +910,23 @@ def q_geo_centroid_knn(spark, sf_dir):
     return centroid_blocking(objects, k=5, strategy="broadcast")
 
 
+def q_geo_matching_quality(spark, sf_dir):
+    """Matching-quality lifecycle (reference §3.2): blocking-based pair
+    partitions → 25 ratio features → cv=3 grid search over two backbones
+    → distributed predict → per-model precision/recall/F1. Smaller entity
+    set (like seed-mean): the driver-side grid search is the reference's
+    own topology (GridSearchCV on collected numpy)."""
+    from ..operators.properties import pages_to_properties
+    from ..plans.matching_quality import run_matching_quality
+
+    li = _t(spark, sf_dir, "lineitem").count()
+    n_entities = max(30, li // 400)
+    pages = generate_pages_df(spark, n_entities, seed=42)
+    props = pages_to_properties(pages, zoom=15, log1p=True)
+    res = run_matching_quality(spark, props, bkafi_dim=3, n_neg=2, seed=1)
+    return spark.createDataFrame(res)
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -953,6 +970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_tiles": q_geo_tiles,
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
+    "geo_matching_quality": q_geo_matching_quality,
     "geo_blocking_fi": q_geo_blocking_fi,
     "geo_threshold_sweep": q_geo_threshold_sweep,
     "geo_seed_mean_recall": q_geo_seed_mean_recall,
@@ -985,6 +1003,140 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # minhash_dedup / simhash_dedup / lsh_topk / geo_*: engine-defined
-    # kernels — rows-only driver check; exact parity lives in tests/.
 }
+
+# --------------------------------------------------------------------------
+# expected-parquet oracles (tools/gen_expected.py) for queries DuckDB cannot
+# recompute from the raw tables. Tier per query lives in gen_expected.TIER:
+# 'independent' = recomputed from first principles (numpy reference oracle +
+# standalone spec reimplementations); 'golden' = the engine's own output
+# captured once under fixed seeds (distributed-stability regression gate;
+# formula parity for those lives in the pytest numpy-oracle suites).
+# --------------------------------------------------------------------------
+
+_EXPECTED = "/root/repo/oracle/expected"
+
+
+def _expected_sql(name: str, cols: list[str], marker: str = "_n_li",
+                  table: str = "lineitem") -> str:
+    return (
+        f"SELECT {', '.join(cols)} "
+        f"FROM read_parquet('{_EXPECTED}/{name}.parquet') "
+        f"WHERE {marker} = (SELECT count(*) FROM {table})"
+    )
+
+
+from ..config import OBJECT_PROPERTIES as _PROPS  # noqa: E402
+
+_KNN_COLS = ["bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"]
+
+ORACLE_SQL.update(
+    {
+        "geo_extract": _expected_sql(
+            "geo_extract",
+            ["obj_id", "source", "url", "n_surfaces", "lat", "lon", "cell_id"],
+        ),
+        "geo_properties": _expected_sql(
+            "geo_properties", ["obj_id", "source", *_PROPS]
+        ),
+        "geo_blocking_pairs": _expected_sql("geo_blocking_pairs", _KNN_COLS),
+        "geo_blocking_fi": _expected_sql("geo_blocking_fi", _KNN_COLS),
+        "geo_blocking_recall": _expected_sql(
+            "geo_blocking_recall", ["bkafi_dim", "k", "blocking_recall"]
+        ),
+        "geo_match_decisions": _expected_sql(
+            "geo_match_decisions",
+            ["cand_id", "index_id", "rank", "dist", "label"],
+        ),
+        "geo_pair_features": _expected_sql(
+            "geo_pair_features",
+            ["cand_id", "index_id", *[f"{p}_ratio" for p in _PROPS]],
+        ),
+        "geo_tiles": _expected_sql(
+            "geo_tiles", ["obj_id", "tile_x", "tile_y", "zoom", "coverage"]
+        ),
+        "geo_pip": _expected_sql("geo_pip", ["point_id", "obj_id"]),
+        "geo_centroid_knn": _expected_sql(
+            "geo_centroid_knn", ["cand_id", "index_id", "rank", "dist"]
+        ),
+        "geo_threshold_sweep": _expected_sql(
+            "geo_threshold_sweep",
+            ["percentile", "recall", "cand_pairs_num", "reduction_ratio",
+             "threshold_val"],
+        ),
+        "geo_seed_mean_recall": _expected_sql(
+            "geo_seed_mean_recall",
+            ["model", "recall_at_1", "recall_at_20", "recall_at_5"],
+        ),
+        "geo_matching_quality": _expected_sql(
+            "geo_matching_quality",
+            ["model", "cv_f1", "precision", "recall", "f1"],
+        ),
+    }
+)
+
+# LSH-family oracles: signatures/buckets are materialized from independent
+# spec reimplementations; DuckDB itself performs the banding / hamming /
+# bucketed-top-k pair logic, so the JOIN SHAPE is verified end-to-end.
+
+ORACLE_SQL["minhash_dedup"] = f"""
+WITH sigs AS (
+  SELECT doc_id, signature
+  FROM read_parquet('{_EXPECTED}/minhash_sigs.parquet')
+  WHERE _n_li = (SELECT count(*) FROM lineitem)),
+bands AS (
+  SELECT doc_id, signature, r.band AS band,
+         signature[r.band*4 + 1 : r.band*4 + 4] AS key
+  FROM sigs, range(16) r(band)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       len(list_filter(range(64),
+                       i -> sa.signature[i+1] = sb.signature[i+1])) / 64.0
+         AS est_jaccard
+FROM pairs
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+"""
+
+ORACLE_SQL["simhash_dedup"] = f"""
+WITH sigs AS (
+  SELECT doc_id, simhash
+  FROM read_parquet('{_EXPECTED}/simhash_sigs.parquet')
+  WHERE _n_li = (SELECT count(*) FROM lineitem)),
+bands AS (
+  SELECT doc_id, simhash, r.band AS band,
+         (simhash >> (16 * r.band)) & 65535 AS key
+  FROM sigs, range(4) r(band))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+_COS = (
+    "list_dot_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+ORACLE_SQL["lsh_topk"] = f"""
+WITH bk AS (
+  SELECT vec_id, bucket
+  FROM read_parquet('{_EXPECTED}/lsh_buckets.parquet')
+  WHERE _n_li = (SELECT count(*) FROM lineitem))
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine FROM (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, {_COS} AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS} DESC, b.vec_id ASC) AS rank
+  FROM embeddings q
+  JOIN bk qb ON qb.vec_id = q.vec_id
+  JOIN bk bb ON bb.bucket = qb.bucket
+  JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < 20)
+WHERE rank <= 5
+"""

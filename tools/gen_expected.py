@@ -1,0 +1,418 @@
+"""Materialize expected outputs for driver queries whose results DuckDB
+cannot recompute from the raw parquet tables (the 15 round-1 ``no_oracle``
+queries + the round-2 matching-quality lifecycle).
+
+Two tiers, recorded per query in ``TIER``:
+
+- ``independent``: computed HERE from first principles — the numpy
+  reference oracle (``oracle/reference_oracle.py``) plus standalone
+  reimplementations of the engine-defined hash/cell specs, with no engine
+  kernel imports. A driver mismatch against these means an engine bug.
+- ``golden``: the engine's own Spark output captured once under fixed
+  seeds. The driver check then proves distributed re-execution stability
+  (partitioning / Arrow / shuffle invariance and regression safety);
+  formula-level correctness for these queries lives in the pytest
+  numpy-oracle suites (value chains of unrounded float64 make bit-exact
+  independent recomputation impossible — see SURVEY.md §5).
+
+Outputs: ``oracle/expected/<name>.parquet``, one file per query holding
+rows for every generated SF, tagged ``_n_li`` (the lineitem rowcount — the
+only table whose count differs per SF) so ONE oracle-SQL string can select
+its SF slice via
+``WHERE _n_li = (SELECT count(*) FROM lineitem)``.
+
+Usage: python tools/gen_expected.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from multiprocessing import Pool
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from oracle import reference_oracle as O  # noqa: E402
+from geospatial_object_matching_spark.sources.pages import (  # noqa: E402
+    LAT0,
+    LON0,
+    M_PER_DEG_LAT,
+    M_PER_DEG_LON,
+    generate_pages_pdf,
+)
+
+OUT_DIR = os.path.join(REPO, "oracle", "expected")
+
+TIER = {
+    "geo_extract": "independent",
+    "geo_pip": "independent",
+    "geo_blocking_recall": "independent",
+    "geo_seed_mean_recall": "independent",
+    "geo_centroid_knn": "independent",
+    "minhash_sigs": "independent",
+    "simhash_sigs": "independent",
+    "lsh_buckets": "independent",
+    "geo_properties": "golden",
+    "geo_blocking_pairs": "golden",
+    "geo_blocking_fi": "golden",
+    "geo_match_decisions": "golden",
+    "geo_pair_features": "golden",
+    "geo_tiles": "golden",
+    "geo_threshold_sweep": "golden",
+    "geo_matching_quality": "golden",
+}
+
+GOLDEN_QUERIES = sorted(k for k, v in TIER.items() if v == "golden")
+
+
+# --------------------------------------------------------------------------
+# independent primitives (deliberately NOT the engine's functions)
+# --------------------------------------------------------------------------
+
+
+def slippy_cell(lon: float, lat: float, zoom: int) -> int:
+    """Public OSM slippy-map tile formula + the engine's documented
+    (zoom<<56 | x<<28 | y) packing, in scalar libm math."""
+    lat = min(max(lat, -85.05112878), 85.05112878)
+    n = 1 << zoom
+    x = int(math.floor((lon + 180.0) / 360.0 * n))
+    lr = math.radians(lat)
+    y = int(math.floor((1.0 - math.asinh(math.tan(lr)) / math.pi) / 2.0 * n))
+    x = min(max(x, 0), n - 1)
+    y = min(max(y, 0), n - 1)
+    return (zoom << 56) | (x << 28) | y
+
+
+def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    """Crossing-number PIP, scalar (independent of the engine's
+    vectorized ray cast; same half-open rule)."""
+    inside = False
+    m = len(ring)
+    for i in range(m):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % m]
+        if (y1 > py) != (y2 > py):
+            xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xin:
+                inside = not inside
+    return inside
+
+
+def ground_ring_lonlat(mesh) -> np.ndarray | None:
+    """First surface whose vertices all sit at min z, projected back to
+    lon/lat with the fixture's equirectangular constants."""
+    zs = [v[2] for s in mesh for v in s]
+    min_z = min(zs)
+    for surf in mesh:
+        if len(surf) >= 3 and all(v[2] == min_z for v in surf):
+            xy = np.asarray(surf, dtype=np.float64)[:, :2]
+            lon = xy[:, 0] / M_PER_DEG_LON + LON0
+            lat = xy[:, 1] / M_PER_DEG_LAT + LAT0
+            return np.stack([lon, lat], axis=1)
+    return None
+
+
+# ---- engine-defined hash specs, reimplemented scalar-side ----------------
+
+FNV_PRIME = 1099511628211
+MASK64 = (1 << 64) - 1
+
+
+def mix64(z: int) -> int:
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+    return z ^ (z >> 31)
+
+
+def shingle_hashes_py(text: str, k: int) -> list[int]:
+    """Pure-python-int version of the shingle spec (utf-8 bytes →
+    k-byte windows → polynomial FNV-prime hash mod 2^64 → splitmix64)."""
+    b = (text or "").encode("utf-8", "ignore")
+    if len(b) == 0:
+        b = b"\x00"
+    kk = min(k, len(b))
+    powers = [pow(FNV_PRIME, kk - 1 - j, 1 << 64) for j in range(kk)]
+    out = set()
+    for i in range(len(b) - kk + 1):
+        h = 0
+        for j in range(kk):
+            h = (h + b[i + j] * powers[j]) & MASK64
+        out.add(mix64(h))
+    return sorted(out)
+
+
+def hash_params(n_hashes: int, seed: int):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, np.iinfo(np.uint64).max, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, np.iinfo(np.uint64).max, n_hashes, dtype=np.uint64)
+    return (a | np.uint64(1)).tolist(), b.tolist()
+
+
+def to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# --------------------------------------------------------------------------
+# per-sf computation
+# --------------------------------------------------------------------------
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
+def prop_dict_parallel(objs, workers: int = 16):
+    """O.property_dict_of with the O(n^3) hull parallelized per object."""
+    items = [
+        (t, oid, rec) for t in ("cands", "index") for oid, rec in objs[t].items()
+    ]
+    with Pool(workers) as pool:
+        results = pool.starmap(
+            _props_one, [(rec,) for _, _, rec in items], chunksize=4
+        )
+    prop_dict = {p: {"cands": {}, "index": {}} for p in O.PROPERTY_NAMES}
+    for (t, oid, _), props in zip(items, results):
+        for p in O.PROPERTY_NAMES:
+            prop_dict[p][t][oid] = props[p]
+    return prop_dict
+
+
+def _props_one(rec):
+    return O.properties_of_object(rec, log1p=True)
+
+
+def expected_geo_extract(objs) -> pd.DataFrame:
+    rows = []
+    for source in ("cands", "index"):
+        for oid, rec in objs[source].items():
+            rows.append(
+                {
+                    "obj_id": oid,
+                    "source": source,
+                    "url": f"https://{source}.example.org/obj/{oid}",
+                    "n_surfaces": np.int32(len(rec["mesh"])),
+                    "lat": round(rec["lat"], 6),
+                    "lon": round(rec["lon"], 6),
+                    "cell_id": slippy_cell(rec["lon"], rec["lat"], 15),
+                }
+            )
+    return pd.DataFrame(rows).astype({"n_surfaces": "int32", "cell_id": "int64"})
+
+
+def expected_geo_pip(objs) -> pd.DataFrame:
+    rings = {}
+    for oid, rec in objs["cands"].items():
+        ring = ground_ring_lonlat(rec["mesh"])
+        if ring is not None:
+            rings[oid] = ring
+    rows = []
+    for pid, rec in objs["index"].items():
+        px, py = rec["lon"], rec["lat"]
+        for oid, ring in rings.items():
+            if point_in_ring(px, py, ring):
+                rows.append({"point_id": pid, "obj_id": oid})
+    return pd.DataFrame(rows, columns=["point_id", "obj_id"])
+
+
+def expected_blocking_recall(prop_dict, objs, dims=(1, 3)) -> pd.DataFrame:
+    order = list(O.property_ratios(prop_dict).keys())
+    cand_ids = set(objs["cands"].keys())
+    index_ids = set(objs["index"].keys())
+    rows = []
+    for dim in dims:
+        cands, index = O.bkafi_vectors(prop_dict, order, dim)
+        nn = O.knn_join(cands, index, k=21)
+        for k in (1, 5, 20):
+            rows.append(
+                {
+                    "bkafi_dim": dim,
+                    "k": k,
+                    "blocking_recall": O.blocking_recall(
+                        nn, cand_ids, index_ids, k
+                    ),
+                }
+            )
+    return pd.DataFrame(rows).astype({"bkafi_dim": "int64", "k": "int64"})
+
+
+def expected_centroid_knn(objs) -> pd.DataFrame:
+    """centroid_blocking: raw 3-d centroid L2 kNN, k=5, no scaling —
+    oracle knn with identity scale."""
+    cands = {i: r["centroid"].tolist() for i, r in objs["cands"].items()}
+    index = {i: r["centroid"].tolist() for i, r in objs["index"].items()}
+    ids = sorted(index)
+    Xi = np.array([index[i] for i in ids], dtype=np.float64)
+    rows = []
+    for cid in sorted(cands):
+        d = np.linalg.norm(Xi - np.array(cands[cid]), axis=1)
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))[:5]
+        for rank, j in enumerate(order, start=1):
+            rows.append(
+                {
+                    "cand_id": cid,
+                    "index_id": ids[j],
+                    "rank": np.int32(rank),
+                    "dist": round(float(d[j]), 3),
+                }
+            )
+    return pd.DataFrame(rows).astype({"rank": "int32"})
+
+
+def expected_seed_mean_recall(n_entities: int) -> pd.DataFrame:
+    per_metric: dict[str, list[float]] = {}
+    for seed in (1, 2, 3):
+        pdf = generate_pages_pdf(n_entities, seed=seed)
+        objs = O.object_dicts_from_pages(pdf)
+        prop_dict = prop_dict_parallel(objs)
+        rec = expected_blocking_recall(prop_dict, objs, dims=(3,))
+        for _, r in rec.iterrows():
+            per_metric.setdefault(f"recall_at_{int(r['k'])}", []).append(
+                float(r["blocking_recall"])
+            )
+    row = {"model": "dim3"}
+    for metric, vals in per_metric.items():
+        row[metric] = round(float(np.mean(vals)), 3)
+    return pd.DataFrame([row])
+
+
+def expected_text_sigs(sf_dir: str):
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    a5, b5 = hash_params(64, 1)
+    min_rows, sim_rows = [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sh5 = shingle_hashes_py(text, 5)
+        sig = [
+            to_i64(min(((ai * x) + bi) & MASK64 for x in sh5))
+            for ai, bi in zip(a5, b5)
+        ]
+        min_rows.append({"doc_id": int(doc_id), "signature": sig})
+        sh4 = shingle_hashes_py(text, 4)
+        votes = [0] * 64
+        for x in sh4:
+            for j in range(64):
+                votes[j] += 1 if (x >> j) & 1 else -1
+        sim = 0
+        for j in range(64):
+            if votes[j] > 0:
+                sim |= 1 << j
+        sim_rows.append({"doc_id": int(doc_id), "simhash": to_i64(sim)})
+    return pd.DataFrame(min_rows), pd.DataFrame(sim_rows)
+
+
+def expected_lsh_buckets(sf_dir: str, n_planes: int = 6, seed: int = 7):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.array(list(emb["embedding"]), dtype=np.float64)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(0.0, 1.0, (n_planes, vecs.shape[1]))
+    dots = vecs @ planes.T
+    buckets = ((dots > 0) * (1 << np.arange(n_planes))).sum(axis=1)
+    return pd.DataFrame(
+        {"vec_id": emb["vec_id"].astype("int64"), "bucket": buckets.astype("int64")}
+    )
+
+
+# --------------------------------------------------------------------------
+# golden tier: capture the engine's Spark output once
+# --------------------------------------------------------------------------
+
+
+def golden_outputs(sf_dirs: list[str]) -> dict[str, list[pd.DataFrame]]:
+    import __spark_entry__ as E
+    from geospatial_object_matching_spark.config import EngineConf
+    from geospatial_object_matching_spark.session import get_spark
+
+    spark = get_spark(
+        "gen-expected", master="local[16]", conf=EngineConf(shuffle_partitions=16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    out: dict[str, list[pd.DataFrame]] = {q: [] for q in GOLDEN_QUERIES}
+    for sf_dir in sf_dirs:
+        n_li = table_rows(sf_dir, "lineitem")
+        for q in GOLDEN_QUERIES:
+            pdf = qs[q](spark, sf_dir).toPandas()
+            pdf["_n_li"] = np.int64(n_li)
+            out[q].append(pdf)
+            print(f"[golden] {q} @ {sf_dir}: {len(pdf)} rows", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+    return out
+
+
+# --------------------------------------------------------------------------
+# main
+# --------------------------------------------------------------------------
+
+
+def write_expected(name: str, frames: list[pd.DataFrame]) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    pdf = pd.concat(frames, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(OUT_DIR, f"{name}.parquet"),
+        coerce_timestamps="us",
+    )
+    print(f"[write] {name}: {len(pdf)} rows", flush=True)
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+    ]
+    acc: dict[str, list[pd.DataFrame]] = {}
+
+    for sf_dir in sf_dirs:
+        n_li = table_rows(sf_dir, "lineitem")
+        n_entities = max(40, n_li // 100)
+        print(f"== {sf_dir}: n_li={n_li} n_entities={n_entities}", flush=True)
+
+        pdf_pages = generate_pages_pdf(n_entities, seed=42)
+        objs = O.object_dicts_from_pages(pdf_pages)
+
+        def tag(df: pd.DataFrame, col="_n_li", val=n_li) -> pd.DataFrame:
+            df[col] = np.int64(val)
+            return df
+
+        acc.setdefault("geo_extract", []).append(tag(expected_geo_extract(objs)))
+        acc.setdefault("geo_pip", []).append(tag(expected_geo_pip(objs)))
+
+        prop_dict = prop_dict_parallel(objs)
+        acc.setdefault("geo_blocking_recall", []).append(
+            tag(expected_blocking_recall(prop_dict, objs))
+        )
+        acc.setdefault("geo_centroid_knn", []).append(
+            tag(expected_centroid_knn(objs))
+        )
+        acc.setdefault("geo_seed_mean_recall", []).append(
+            tag(expected_seed_mean_recall(max(30, n_li // 400)))
+        )
+
+        # keyed by _n_li like everything else: documents/embeddings have
+        # the SAME row count across SFs (different content), so their own
+        # counts cannot disambiguate the slice
+        min_sigs, sim_sigs = expected_text_sigs(sf_dir)
+        acc.setdefault("minhash_sigs", []).append(tag(min_sigs))
+        acc.setdefault("simhash_sigs", []).append(tag(sim_sigs))
+        acc.setdefault("lsh_buckets", []).append(
+            tag(expected_lsh_buckets(sf_dir))
+        )
+
+    for name, frames in golden_outputs(sf_dirs).items():
+        acc[name] = frames
+
+    for name, frames in acc.items():
+        write_expected(name, frames)
+
+
+if __name__ == "__main__":
+    main()
