@@ -396,6 +396,16 @@ class GradientBoostingMatcher:
 
 def model_from_dict(state: dict):
     """Rebuild a broadcastable matcher from its to_dict() state."""
+    if state.get("kind") == "ada":
+        m = AdaBoostMatcher()
+        m.stumps = state["stumps"]
+        m.feature_names = state["feature_names"]
+        return m
+    if state.get("kind") == "bagging":
+        m = BaggingMatcher()
+        m.trees = state["trees"]
+        m.feature_names = state["feature_names"]
+        return m
     if state.get("kind") == "gb":
         m = GradientBoostingMatcher()
         m.trees = state["trees"]
@@ -416,9 +426,12 @@ def model_from_dict(state: dict):
 MATCHER_BACKBONES = {
     "RandomForestMatcher": RandomForestMatcher,
     "GradientBoostingMatcher": GradientBoostingMatcher,
+    "BaggingMatcher": None,   # bound after class definitions below
+    "AdaBoostMatcher": None,
 }
 
-#: small grids in the reference's param_dict shape (config.py:79-128)
+#: small grids in the reference's param_dict shape (config.py:79-128);
+#: DEFAULT keeps the driver query fast — FULL adds the other backbones
 DEFAULT_PARAM_GRIDS = {
     "RandomForestMatcher": {"n_trees": [15, 30], "max_depth": [5, 8]},
     "GradientBoostingMatcher": {
@@ -426,6 +439,12 @@ DEFAULT_PARAM_GRIDS = {
         "learning_rate": [0.1, 0.3],
         "max_depth": [3],
     },
+}
+
+FULL_PARAM_GRIDS = {
+    **DEFAULT_PARAM_GRIDS,
+    "BaggingMatcher": {"n_trees": [10, 20], "max_samples": [0.8, 1.0]},
+    "AdaBoostMatcher": {"n_estimators": [50, 100], "learning_rate": [0.5, 1.0]},
 }
 
 
@@ -494,3 +513,147 @@ def cv_grid_search(
         model = cls(seed=seed, **best[0]).fit(X, y, feature_names)
         out[name] = {"model": model, "best_params": best[0], "cv_f1": best[1]}
     return out
+
+
+# ----------------------------------------------------------------------
+# additional backbones: Bagging (reference config.py:116-120) and
+# AdaBoost-SAMME (config.py:102-105). The Newton-step boosting in
+# GradientBoostingMatcher doubles as the XGBClassifier analog (same
+# second-order objective); MLP/CLIP remain out of scope (SURVEY §2.10).
+# ----------------------------------------------------------------------
+
+
+class BaggingMatcher(RandomForestMatcher):
+    """BaggingClassifier analog: bootstrap-bagged full-feature CART trees
+    (RandomForest minus feature subsampling, plus a max_samples knob)."""
+
+    kind = "bagging"
+
+    def __init__(
+        self,
+        n_trees: int = 20,
+        max_depth: int = 8,
+        min_samples: int = 4,
+        max_samples: float = 1.0,
+        seed: int = 1,
+    ):
+        super().__init__(
+            n_trees=n_trees, max_depth=max_depth, min_samples=min_samples, seed=seed
+        )
+        self.max_samples = max_samples
+
+    def fit(self, X: np.ndarray, y: np.ndarray, feature_names: list[str]):
+        rng = np.random.Generator(np.random.PCG64(self.seed))
+        self.feature_names = list(feature_names)
+        n, d = X.shape
+        take = max(1, int(self.max_samples * n))
+        imp = np.zeros(d)
+        self.trees = []
+        for _ in range(self.n_trees):
+            boot = rng.integers(0, n, take)
+            self.trees.append(
+                _fit_tree(
+                    X[boot], y[boot], rng, self.max_depth, self.min_samples,
+                    d, imp,  # max_features = ALL features
+                )
+            )
+        self.importances_ = imp / imp.sum() if imp.sum() else imp
+        return self
+
+
+def _fit_stump_weighted(X: np.ndarray, y: np.ndarray, w: np.ndarray):
+    """Best weighted decision stump: (feature, threshold, left_class).
+    One sorted cumulative-weight pass per feature."""
+    best = (0, 0.0, 1, np.inf)  # feature, thr, left_class, weighted error
+    ypm = np.where(y == 1, 1.0, -1.0)
+    for f in range(X.shape[1]):
+        order = np.argsort(X[:, f], kind="stable")
+        xs = X[order, f]
+        ws = (w * ypm)[order]
+        # cum[i] = Σ_{j<=i} w_j*y_j for x <= xs[i]
+        cum = np.cumsum(ws)
+        total = cum[-1]
+        # split after i (x <= xs[i] goes left). err(left=+1) =
+        # Σ_left w[y=-1] + Σ_right w[y=+1] = C - cum[i] rearranged; use
+        # margins: score(i) = cum[i] - (total - cum[i]) = 2cum[i]-total;
+        # left_class=+1 err = (W - score)/2 with W = Σw
+        valid = xs[:-1] < xs[1:]
+        if not valid.any():
+            continue
+        W = w.sum()
+        score = 2 * cum[:-1] - total
+        err_pos = (W - score) / 2.0  # left=+1, right=-1
+        err_neg = (W + score) / 2.0  # left=-1, right=+1
+        err_pos[~valid] = np.inf
+        err_neg[~valid] = np.inf
+        i_pos = int(err_pos.argmin())
+        i_neg = int(err_neg.argmin())
+        if err_pos[i_pos] < best[3]:
+            best = (f, float((xs[i_pos] + xs[i_pos + 1]) / 2.0), 1, float(err_pos[i_pos]))
+        if err_neg[i_neg] < best[3]:
+            best = (f, float((xs[i_neg] + xs[i_neg + 1]) / 2.0), 0, float(err_neg[i_neg]))
+    return best
+
+
+class AdaBoostMatcher:
+    """SAMME AdaBoost over weighted decision stumps
+    (AdaBoostClassifier(algorithm='SAMME') analog)."""
+
+    kind = "ada"
+
+    def __init__(
+        self,
+        n_estimators: int = 50,
+        learning_rate: float = 1.0,
+        seed: int = 1,
+    ):
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.seed = seed
+        self.stumps: list = []  # (feature, thr, left_class, alpha)
+        self.feature_names: list[str] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray, feature_names: list[str]):
+        self.feature_names = list(feature_names)
+        n = len(y)
+        w = np.full(n, 1.0 / n)
+        self.stumps = []
+        for _ in range(self.n_estimators):
+            f, thr, left_cls, err = _fit_stump_weighted(X, y, w)
+            err = max(err, 1e-10)
+            if err >= 0.5:
+                break
+            alpha = self.learning_rate * np.log((1 - err) / err)
+            pred = np.where(X[:, f] <= thr, left_cls, 1 - left_cls)
+            w = w * np.exp(alpha * (pred != y))
+            w /= w.sum()
+            self.stumps.append((int(f), float(thr), int(left_cls), float(alpha)))
+            if err <= 1e-9:
+                break
+        return self
+
+    def _decision(self, X: np.ndarray) -> np.ndarray:
+        F_val = np.zeros(len(X))
+        total = 0.0
+        for f, thr, left_cls, alpha in self.stumps:
+            pred = np.where(X[:, f] <= thr, left_cls, 1 - left_cls)
+            F_val += alpha * np.where(pred == 1, 1.0, -1.0)
+            total += alpha
+        return F_val / total if total > 0 else F_val
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return (self._decision(X) + 1.0) / 2.0
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self._decision(X) >= 0.0).astype(np.int32)
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "stumps": self.stumps,
+            "feature_names": self.feature_names,
+        }
+
+
+MATCHER_BACKBONES["BaggingMatcher"] = BaggingMatcher
+MATCHER_BACKBONES["AdaBoostMatcher"] = AdaBoostMatcher

@@ -269,3 +269,49 @@ class TestSecondBackboneAndLifecycle:
             res.sort_values("model").reset_index(drop=True),
             res2.sort_values("model").reset_index(drop=True),
         )
+
+
+class TestAllBackbones:
+    """Bagging + AdaBoost backbones (reference model_list parity:
+    config.py:75-77 — RF/GB/Bagging/Ada implemented; the Newton-step GB
+    doubles as the XGB analog; MLP/CLIP out of scope)."""
+
+    def _planted(self, n=300, seed=5):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(0, 1, (n, 5))
+        y = (X[:, 2] - 0.3 * X[:, 0] > 0).astype(np.int64)
+        return X, y
+
+    @pytest.mark.parametrize("name", ["BaggingMatcher", "AdaBoostMatcher"])
+    def test_backbone_fits_and_roundtrips(self, name):
+        from geospatial_object_matching_spark.operators.matching_model import (
+            MATCHER_BACKBONES,
+            _f1_macro,
+            model_from_dict,
+        )
+
+        X, y = self._planted()
+        cols = [f"f{i}" for i in range(X.shape[1])]
+        m = MATCHER_BACKBONES[name](seed=2).fit(X, y, cols)
+        assert _f1_macro(y, m.predict(X)) > 0.95
+        m2 = model_from_dict(m.to_dict())
+        np.testing.assert_allclose(m2.predict_proba(X), m.predict_proba(X))
+
+    def test_full_grid_covers_four_backbones(self):
+        from geospatial_object_matching_spark.operators.matching_model import (
+            FULL_PARAM_GRIDS,
+            cv_grid_search,
+        )
+
+        X, y = self._planted(n=200)
+        out = cv_grid_search(
+            X, y, [f"f{i}" for i in range(X.shape[1])], FULL_PARAM_GRIDS, cv=3
+        )
+        assert set(out) == {
+            "RandomForestMatcher",
+            "GradientBoostingMatcher",
+            "BaggingMatcher",
+            "AdaBoostMatcher",
+        }
+        for v in out.values():
+            assert v["cv_f1"] > 0.8
