@@ -59,6 +59,8 @@ def run_pipeline(
     from ..operators.properties import pages_to_properties
     from ..operators.scaler import robust_scaler_fit
 
+    from ..config import OBJECT_PROPERTIES
+
     # fused parse+featurize: one Arrow pass, coords never serialized out
     properties = stage(
         "properties", lambda: pages_to_properties(pages, zoom=zoom, log1p=True)
@@ -67,35 +69,15 @@ def run_pipeline(
     # want tiles/PIP — not in the blocking/matching hot path
     objects = extract_objects(pages, zoom=zoom)
 
-    order = bkafi_feature_order(properties, criterion="std")
-    feats = order[:bkafi_dim]
-    scaler_stats = robust_scaler_fit(
-        properties.filter(F.col("source") == "cands"), feats
-    )
-
-    cands_v, index_v = bkafi_vectors(properties, feats, stats=scaler_stats)
-    cands_v, index_v = cands_v.persist(), index_v.persist()
-
-    # three mutually independent job chains — kNN, threshold percentiles,
-    # side counts — submitted from driver threads so Spark schedules them
-    # concurrently: serialized driver-synchronized actions are the
-    # dominant non-scaling term once the kernels are fast (BENCH.md
-    # Amdahl note)
+    # serialized driver-synchronized actions are the dominant non-scaling
+    # term once the kernels are fast (BENCH.md Amdahl note), so every
+    # mutually independent job chain runs from a driver thread:
+    #   phase A — feature order (ratio-stats agg) ∥ scaler fit over ALL 25
+    #   properties (order-independent; the top-dim slice is taken after
+    #   the order resolves — per-feature stats are independent) ∥ side
+    #   counts (needs only properties);
+    #   phase B — kNN ∥ matched-pair threshold percentiles.
     from concurrent.futures import ThreadPoolExecutor
-
-    def job_candidates():
-        df = stage(
-            "candidates",
-            lambda: knn_join(cands_v, index_v, k, strategy=knn_strategy, conf=conf),
-            params={"dim": bkafi_dim, "k": k},
-        ).persist()
-        df.count()  # materialize inside the thread — that's the overlap
-        return df
-
-    def job_thresholds():
-        # threshold matcher (bkafi_with_threshold.py lifecycle)
-        dists, _ = matched_pair_vectors(properties, feats)
-        return percentile_thresholds(dists, (0.5, 0.75, 0.9, 0.95, 0.99))
 
     def job_counts():
         # one job for all three counts (cands, index, intersection)
@@ -115,12 +97,41 @@ def run_pipeline(
         return int(row["n_c"]), int(row["n_i"]), int(row["n_int"])
 
     with ThreadPoolExecutor(max_workers=3) as pool:
+        f_order = pool.submit(bkafi_feature_order, properties, "std")
+        f_fit = pool.submit(
+            robust_scaler_fit,
+            properties.filter(F.col("source") == "cands"),
+            list(OBJECT_PROPERTIES),
+        )
+        f_cnt = pool.submit(job_counts)
+        order = f_order.result()
+        stats_all = f_fit.result()
+    feats = order[:bkafi_dim]
+    scaler_stats = {f: stats_all[f] for f in feats}
+
+    cands_v, index_v = bkafi_vectors(properties, feats, stats=scaler_stats)
+    cands_v, index_v = cands_v.persist(), index_v.persist()
+
+    def job_candidates():
+        df = stage(
+            "candidates",
+            lambda: knn_join(cands_v, index_v, k, strategy=knn_strategy, conf=conf),
+            params={"dim": bkafi_dim, "k": k},
+        ).persist()
+        df.count()  # materialize inside the thread — that's the overlap
+        return df
+
+    def job_thresholds():
+        # threshold matcher (bkafi_with_threshold.py lifecycle)
+        dists, _ = matched_pair_vectors(properties, feats)
+        return percentile_thresholds(dists, (0.5, 0.75, 0.9, 0.95, 0.99))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
         f_cand = pool.submit(job_candidates)
         f_thr = pool.submit(job_thresholds)
-        f_cnt = pool.submit(job_counts)
         candidates = f_cand.result()
         thresholds = f_thr.result()
-        n_c, n_i, n_int = f_cnt.result()
+    n_c, n_i, n_int = f_cnt.result()
 
     thr = thresholds[decision_percentile]
     matches = candidates.filter(F.col("dist") <= F.lit(thr)).withColumn(
