@@ -156,11 +156,18 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-slice → bucket equi-join.
-    Output (id_a, id_b, est_jaccard) with id_a < id_b, deduped."""
-    n_hashes = len(signatures.select("signature").first()[0])
+    Output (id_a, id_b, est_jaccard) with id_a < id_b, deduped.
+
+    Pass ``n_hashes`` when known: the fallback ``first()`` probe is an
+    extra Spark job that materializes the signature kernel twice."""
+    if n_hashes is None:
+        n_hashes = len(signatures.select("signature").first()[0])
     rows_per_band = n_hashes // bands
     banded = signatures.select(
         id_col,

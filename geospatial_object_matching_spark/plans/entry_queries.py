@@ -645,7 +645,7 @@ def q_minhash_dedup(spark, sf_dir):
     planted duplicates)."""
     d = _t(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(d, n_hashes=64, shingle_k=5)
-    return DD.minhash_lsh_pairs(sigs, bands=16)
+    return DD.minhash_lsh_pairs(sigs, bands=16, n_hashes=64)
 
 
 def q_simhash_dedup(spark, sf_dir):
