@@ -910,6 +910,48 @@ def q_geo_centroid_knn(spark, sf_dir):
     return centroid_blocking(objects, k=5, strategy="broadcast")
 
 
+def q_geo_partitions(spark, sf_dir):
+    """Dataset partition generator summary (reference data_partition.py /
+    data_partition_dirty.py): train/test-matching pair sets + test-blocking
+    id sets, reduced to per-(split,size,key) row/positive counts."""
+    from ..plans.partitions import create_dataset_partition, partition_summary
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    cands = objects.filter(F.col("source") == "cands").select("obj_id")
+    index = objects.filter(F.col("source") == "index").select("obj_id")
+    part = create_dataset_partition(
+        cands,
+        index,
+        seed=1,
+        train_size_ratios={"small": 0.1, "large": 0.6},
+        test_size_ratios={"small": 0.1, "large": 1.0},
+        train_neg_samples=(2,),
+        test_neg_samples=(2,),
+    )
+    return partition_summary(part).orderBy("split", "size", "key")
+
+
+def q_geo_transform(spark, sf_dir):
+    """J7 Kabsch/Procrustes centroid alignment (reference blocking.py:78-92
+    'centroid_with_transform'): fitted rotation/scale/translation params as
+    one row (planted-transform recovery is asserted in pytest)."""
+    from ..operators.transform import fit_centroid_transform
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    params = fit_centroid_transform(objects)
+    R = params["R"]
+    row = {
+        f"r{a}{b}": round(float(R[a][b]), 6) for a in range(3) for b in range(3)
+    }
+    row["scale"] = round(float(params["scale"]), 6)
+    for i, v in enumerate(params["t"]):
+        row[f"t{i}"] = round(float(v), 4)
+    import pandas as pd
+
+    cols = sorted(row)
+    return spark.createDataFrame(pd.DataFrame([{c: row[c] for c in cols}]))
+
+
 def q_geo_matching_quality(spark, sf_dir):
     """Matching-quality lifecycle (reference §3.2): blocking-based pair
     partitions → 25 ratio features → cv=3 grid search over two backbones
@@ -971,6 +1013,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
     "geo_matching_quality": q_geo_matching_quality,
+    "geo_partitions": q_geo_partitions,
+    "geo_transform": q_geo_transform,
     "geo_blocking_fi": q_geo_blocking_fi,
     "geo_threshold_sweep": q_geo_threshold_sweep,
     "geo_seed_mean_recall": q_geo_seed_mean_recall,
@@ -1071,6 +1115,16 @@ ORACLE_SQL.update(
         "geo_matching_quality": _expected_sql(
             "geo_matching_quality",
             ["model", "cv_f1", "precision", "recall", "f1"],
+        ),
+        "geo_partitions": _expected_sql(
+            "geo_partitions", ["split", "size", "key", "n_rows", "n_pos"]
+        ),
+        "geo_transform": _expected_sql(
+            "geo_transform",
+            sorted(
+                [f"r{a}{b}" for a in range(3) for b in range(3)]
+                + ["scale", "t0", "t1", "t2"]
+            ),
         ),
     }
 )

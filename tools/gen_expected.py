@@ -67,6 +67,8 @@ TIER = {
     "geo_tiles": "golden",
     "geo_threshold_sweep": "golden",
     "geo_matching_quality": "golden",
+    "geo_partitions": "golden",
+    "geo_transform": "golden",
 }
 
 GOLDEN_QUERIES = sorted(k for k, v in TIER.items() if v == "golden")
