@@ -952,6 +952,27 @@ def q_geo_transform(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame([{c: row[c] for c in cols}]))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (operators/multimodal.py): opaque
+    binary blobs (the pages' html bytes) → Arrow-batched fake-decode
+    feature kernel → exploded (media_id, bin, value) rows. The decode stub
+    is deterministic (64-bin byte histogram), so the expected-parquet
+    oracle recomputes it independently."""
+    from ..operators.multimodal import extract_media_features
+
+    media = _geo_pages(spark, sf_dir).select(
+        F.col("url").alias("media_id"), F.col("html").alias("blob")
+    )
+    feats = extract_media_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("bin", "value"),
+    ).select(
+        "media_id", "n_bytes", "bin", F.round("value", 6).alias("value")
+    )
+
+
 def q_geo_matching_quality(spark, sf_dir):
     """Matching-quality lifecycle (reference §3.2): blocking-based pair
     partitions → 25 ratio features → cv=3 grid search over two backbones
@@ -1013,6 +1034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
     "geo_matching_quality": q_geo_matching_quality,
+    "media_features": q_media_features,
     "geo_partitions": q_geo_partitions,
     "geo_transform": q_geo_transform,
     "geo_blocking_fi": q_geo_blocking_fi,
@@ -1115,6 +1137,9 @@ ORACLE_SQL.update(
         "geo_matching_quality": _expected_sql(
             "geo_matching_quality",
             ["model", "cv_f1", "precision", "recall", "f1"],
+        ),
+        "media_features": _expected_sql(
+            "media_features", ["media_id", "n_bytes", "bin", "value"]
         ),
         "geo_partitions": _expected_sql(
             "geo_partitions", ["split", "size", "key", "n_rows", "n_pos"]

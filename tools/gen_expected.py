@@ -59,6 +59,7 @@ TIER = {
     "minhash_sigs": "independent",
     "simhash_sigs": "independent",
     "lsh_buckets": "independent",
+    "media_features": "independent",
     "geo_properties": "golden",
     "geo_blocking_pairs": "golden",
     "geo_blocking_fi": "golden",
@@ -310,6 +311,30 @@ def expected_text_sigs(sf_dir: str):
     return pd.DataFrame(min_rows), pd.DataFrame(sim_rows)
 
 
+def expected_media_features(pages_pdf) -> pd.DataFrame:
+    """Independent byte-histogram features: pure-python byte counts into
+    64 uniform bins (b // 4), fraction = count/total — bin edges are exact
+    multiples of 4, so this equals np.histogram(range=(0,256), bins=64)."""
+    rows = []
+    for url, html in zip(pages_pdf["url"], pages_pdf["html"]):
+        blob = bytes(html or b"")
+        counts = [0] * 64
+        for byte in blob:
+            counts[byte >> 2] += 1
+        total = len(blob)
+        for i, c in enumerate(counts):
+            val = (c / total) if total else float(c)
+            rows.append(
+                {
+                    "media_id": url,
+                    "n_bytes": total,
+                    "bin": np.int32(i),
+                    "value": round(val, 6),
+                }
+            )
+    return pd.DataFrame(rows).astype({"bin": "int32"})
+
+
 def expected_lsh_buckets(sf_dir: str, n_planes: int = 6, seed: int = 7):
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     vecs = np.array(list(emb["embedding"]), dtype=np.float64)
@@ -386,6 +411,9 @@ def main() -> None:
             return df
 
         acc.setdefault("geo_extract", []).append(tag(expected_geo_extract(objs)))
+        acc.setdefault("media_features", []).append(
+            tag(expected_media_features(pdf_pages))
+        )
         acc.setdefault("geo_pip", []).append(tag(expected_geo_pip(objs)))
 
         prop_dict = prop_dict_parallel(objs)
