@@ -396,6 +396,12 @@ class GradientBoostingMatcher:
 
 def model_from_dict(state: dict):
     """Rebuild a broadcastable matcher from its to_dict() state."""
+    if state.get("kind") == "mlp":
+        m = MLPMatcher()
+        m.params = state["params"]
+        m.norm = state["norm"]
+        m.feature_names = state["feature_names"]
+        return m
     if state.get("kind") == "ada":
         m = AdaBoostMatcher()
         m.stumps = state["stumps"]
@@ -657,3 +663,113 @@ class AdaBoostMatcher:
 
 MATCHER_BACKBONES["BaggingMatcher"] = BaggingMatcher
 MATCHER_BACKBONES["AdaBoostMatcher"] = AdaBoostMatcher
+
+
+class MLPMatcher:
+    """MLPClassifier analog (reference config.py:96-101: hidden (64,32),
+    relu, adam, batch 16): a two-hidden-layer numpy MLP with logistic
+    loss and Adam, deterministic under its seed (seeded init + seeded
+    epoch shuffles)."""
+
+    kind = "mlp"
+
+    def __init__(
+        self,
+        hidden: tuple[int, int] = (64, 32),
+        batch_size: int = 16,
+        max_iter: int = 200,
+        learning_rate: float = 1e-3,
+        seed: int = 1,
+    ):
+        self.hidden = tuple(hidden)
+        self.batch_size = batch_size
+        self.max_iter = max_iter
+        self.learning_rate = learning_rate
+        self.seed = seed
+        self.params: list = []  # [(W1,b1),(W2,b2),(W3,b3)] as lists
+        self.norm: tuple = ()  # (mean, std) standardization
+        self.feature_names: list[str] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray, feature_names: list[str]):
+        self.feature_names = list(feature_names)
+        rng = np.random.Generator(np.random.PCG64(self.seed))
+        mu = X.mean(axis=0)
+        sd = np.where(X.std(axis=0) == 0, 1.0, X.std(axis=0))
+        self.norm = (mu.tolist(), sd.tolist())
+        Xs = (X - mu) / sd
+        yv = y.astype(np.float64)
+        d = X.shape[1]
+        sizes = [d, *self.hidden, 1]
+        Ws = [
+            rng.normal(0, np.sqrt(2.0 / sizes[i]), (sizes[i], sizes[i + 1]))
+            for i in range(3)
+        ]
+        bs = [np.zeros(sizes[i + 1]) for i in range(3)]
+        # adam state
+        mW = [np.zeros_like(w) for w in Ws]
+        vW = [np.zeros_like(w) for w in Ws]
+        mB = [np.zeros_like(b) for b in bs]
+        vB = [np.zeros_like(b) for b in bs]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        t = 0
+        n = len(yv)
+        for _ in range(self.max_iter):
+            order = rng.permutation(n)
+            for s in range(0, n, self.batch_size):
+                idx = order[s : s + self.batch_size]
+                xb, yb = Xs[idx], yv[idx]
+                # forward
+                z1 = xb @ Ws[0] + bs[0]
+                a1 = np.maximum(z1, 0)
+                z2 = a1 @ Ws[1] + bs[1]
+                a2 = np.maximum(z2, 0)
+                z3 = (a2 @ Ws[2] + bs[2]).ravel()
+                p = _sigmoid(z3)
+                # backward (logistic loss)
+                g3 = ((p - yb) / len(yb))[:, None]
+                grads_W = [None, None, a2.T @ g3]
+                grads_b = [None, None, g3.sum(axis=0)]
+                g2 = (g3 @ Ws[2].T) * (z2 > 0)
+                grads_W[1] = a1.T @ g2
+                grads_b[1] = g2.sum(axis=0)
+                g1 = (g2 @ Ws[1].T) * (z1 > 0)
+                grads_W[0] = xb.T @ g1
+                grads_b[0] = g1.sum(axis=0)
+                t += 1
+                for i in range(3):
+                    mW[i] = b1 * mW[i] + (1 - b1) * grads_W[i]
+                    vW[i] = b2 * vW[i] + (1 - b2) * grads_W[i] ** 2
+                    mB[i] = b1 * mB[i] + (1 - b1) * grads_b[i]
+                    vB[i] = b2 * vB[i] + (1 - b2) * grads_b[i] ** 2
+                    mhW = mW[i] / (1 - b1**t)
+                    vhW = vW[i] / (1 - b2**t)
+                    mhB = mB[i] / (1 - b1**t)
+                    vhB = vB[i] / (1 - b2**t)
+                    Ws[i] -= self.learning_rate * mhW / (np.sqrt(vhW) + eps)
+                    bs[i] -= self.learning_rate * mhB / (np.sqrt(vhB) + eps)
+        self.params = [(w.tolist(), b.tolist()) for w, b in zip(Ws, bs)]
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        mu, sd = np.array(self.norm[0]), np.array(self.norm[1])
+        a = (np.asarray(X, dtype=np.float64) - mu) / sd
+        for i, (w, b) in enumerate(self.params):
+            a = a @ np.array(w) + np.array(b)
+            if i < 2:
+                a = np.maximum(a, 0)
+        return _sigmoid(a.ravel())
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.predict_proba(X) >= 0.5).astype(np.int32)
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "params": self.params,
+            "norm": self.norm,
+            "feature_names": self.feature_names,
+        }
+
+
+MATCHER_BACKBONES["MLPMatcher"] = MLPMatcher
+FULL_PARAM_GRIDS["MLPMatcher"] = {"max_iter": [150], "learning_rate": [1e-3, 3e-3]}

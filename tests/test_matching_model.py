@@ -282,7 +282,9 @@ class TestAllBackbones:
         y = (X[:, 2] - 0.3 * X[:, 0] > 0).astype(np.int64)
         return X, y
 
-    @pytest.mark.parametrize("name", ["BaggingMatcher", "AdaBoostMatcher"])
+    @pytest.mark.parametrize(
+        "name", ["BaggingMatcher", "AdaBoostMatcher", "MLPMatcher"]
+    )
     def test_backbone_fits_and_roundtrips(self, name):
         from geospatial_object_matching_spark.operators.matching_model import (
             MATCHER_BACKBONES,
@@ -297,7 +299,7 @@ class TestAllBackbones:
         m2 = model_from_dict(m.to_dict())
         np.testing.assert_allclose(m2.predict_proba(X), m.predict_proba(X))
 
-    def test_full_grid_covers_four_backbones(self):
+    def test_full_grid_covers_all_backbones(self):
         from geospatial_object_matching_spark.operators.matching_model import (
             FULL_PARAM_GRIDS,
             cv_grid_search,
@@ -312,6 +314,7 @@ class TestAllBackbones:
             "GradientBoostingMatcher",
             "BaggingMatcher",
             "AdaBoostMatcher",
+            "MLPMatcher",
         }
         for v in out.values():
             assert v["cv_f1"] > 0.8
