@@ -37,13 +37,9 @@ def property_ratio_stats(properties: DataFrame) -> list[dict]:
     """Per-property index/cand ratio mean & std over matched ids, rounded
     to 3, sorted by std ascending (stable in property order) —
     classifier.py:224-233 semantics. Returns a 25-row driver-side list."""
-    cands = properties.filter(F.col("source") == "cands").select(
-        "obj_id", *[F.col(p).alias(f"c_{p}") for p in OBJECT_PROPERTIES]
-    )
-    index = properties.filter(F.col("source") == "index").select(
-        "obj_id", *[F.col(p).alias(f"i_{p}") for p in OBJECT_PROPERTIES]
-    )
-    matched = cands.join(index, "obj_id")
+    from .matching import matched_wide
+
+    matched = matched_wide(properties, list(OBJECT_PROPERTIES))
     aggs = []
     for p in OBJECT_PROPERTIES:
         ratio = F.col(f"i_{p}") / F.col(f"c_{p}")

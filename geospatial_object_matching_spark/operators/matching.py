@@ -41,6 +41,30 @@ def split_sides(properties: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cands, index
 
 
+def matched_wide(properties: DataFrame, features: list[str]) -> DataFrame:
+    """One-shuffle matched-pair wide table: (obj_id, c_*, i_*) for ids
+    present on BOTH sides. Replaces the intersect + double-join shape
+    (3 shuffles, 3 driver jobs) with a single conditional aggregation —
+    obj_id is unique per source, so max(when(source=..)) is exact."""
+    aggs = []
+    for f in features:
+        aggs.append(
+            F.max(F.when(F.col("source") == "cands", F.col(f))).alias(f"c_{f}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("source") == "index", F.col(f))).alias(f"i_{f}")
+        )
+    f0 = features[0]
+    return (
+        properties.select("obj_id", "source", *features)
+        .groupBy("obj_id")
+        .agg(*aggs)
+        .filter(
+            F.col(f"c_{f0}").isNotNull() & F.col(f"i_{f0}").isNotNull()
+        )
+    )
+
+
 def ratio_expr(c, i, max_ratio: float = MAX_RATIO_VAL):
     """min(1000, round(c/i,3)); i==0 → 1000 (numpy c/0→inf→clip;
     0/0→nan→min(1000,nan)=1000 in the reference's python min)."""
@@ -91,24 +115,29 @@ def matched_pair_vectors(
     properties: DataFrame, features: list[str]
 ) -> tuple[DataFrame, dict]:
     """Matched (id ∈ both sides) scaled feature pairs; scaler fit on the
-    matched cands only (bkafi_with_threshold.py:176-182)."""
-    proj = properties.select("obj_id", "source", *features)
-    cands = proj.filter(F.col("source") == "cands")
-    index = proj.filter(F.col("source") == "index")
-    matched_ids = cands.select("obj_id").intersect(index.select("obj_id"))
-    mc = cands.join(matched_ids, "obj_id")
-    mi = index.join(matched_ids, "obj_id")
-    stats = robust_scaler_fit(mc, features)
-    mc = robust_scaler_transform(mc, stats, suffix="__s")
-    mi = robust_scaler_transform(mi, stats, suffix="__s")
-    scaled = [f"{f}__s" for f in features]
-    both = mc.select(
-        "obj_id", *[F.col(c).alias(f"c_{c}") for c in scaled]
-    ).join(mi.select("obj_id", *[F.col(c).alias(f"i_{c}") for c in scaled]), "obj_id")
+    matched cands only (bkafi_with_threshold.py:176-182).
+
+    Plan: ONE groupBy produces the matched wide table (the round-1 shape
+    was intersect + two joins — 3 shuffles and 3 sequential driver jobs);
+    the scaler fit aggregates the c_* columns of that table; the distance
+    is pure column arithmetic."""
+    wide = matched_wide(properties, features).persist()
+    stats_c = robust_scaler_fit(wide, [f"c_{f}" for f in features])
+    stats = {f: stats_c[f"c_{f}"] for f in features}
     dist = F.sqrt(
-        sum(((F.col(f"c_{c}") - F.col(f"i_{c}")) ** 2 for c in scaled), F.lit(0.0))
+        sum(
+            (
+                (
+                    (F.col(f"c_{f}") - F.lit(stats[f][0])) / F.lit(stats[f][1])
+                    - (F.col(f"i_{f}") - F.lit(stats[f][0])) / F.lit(stats[f][1])
+                )
+                ** 2
+                for f in features
+            ),
+            F.lit(0.0),
+        )
     )
-    return both.select("obj_id", dist.alias("dist")), stats
+    return wide.select("obj_id", dist.alias("dist")), stats
 
 
 def percentile_thresholds(
