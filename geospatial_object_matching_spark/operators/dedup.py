@@ -169,9 +169,13 @@ def minhash_lsh_pairs(
     if n_hashes is None:
         n_hashes = len(signatures.select("signature").first()[0])
     rows_per_band = n_hashes // bands
+    # band rows carry ONLY (id, band, bucket): the 64-long signature array
+    # (~1 KB/row) must not ride through the bands-x self-join shuffle and
+    # the pair dedup — it is re-joined ONCE per side after dedup, when the
+    # pair set is orders of magnitude smaller than the banded row set
+    # (round-2 verdict perf item #6).
     banded = signatures.select(
         id_col,
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -187,23 +191,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("signature").alias("sig_a"),
-        "band",
-        "bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("signature").alias("sig_b"),
-        "band",
-        "bucket",
-    )
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = signatures.select(id_col, "signature")
+    pairs = pairs.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+        "id_b",
     )
     est = (
         F.size(

@@ -394,6 +394,111 @@ class GradientBoostingMatcher:
         }
 
 
+def _best_split_xgb(X, g, h, feat_idx, lam, n_bins=32):
+    """Best (feature, threshold) maximizing the XGBoost split gain
+    G_L^2/(H_L+lam) + G_R^2/(H_R+lam) - G^2/(H+lam) — hessian-weighted,
+    L2-regularized (the structural difference from the classic
+    GradientBoostingMatcher, whose splits minimize unweighted residual
+    variance)."""
+    G, H = g.sum(), h.sum()
+    parent = G * G / (H + lam)
+    best = (None, None, 0.0)
+    for f in feat_idx:
+        x = X[:, f]
+        qs = np.unique(np.quantile(x, np.linspace(0.02, 0.98, n_bins)))
+        if len(qs) < 2:
+            continue
+        bins = np.searchsorted(qs, x, side="right")
+        sg = np.zeros(len(qs) + 1)
+        sh = np.zeros(len(qs) + 1)
+        np.add.at(sg, bins, g)
+        np.add.at(sh, bins, h)
+        gl = np.cumsum(sg)[:-1]
+        hl = np.cumsum(sh)[:-1]
+        gr = G - gl
+        hr = H - hl
+        gain = gl * gl / (hl + lam) + gr * gr / (hr + lam) - parent
+        t = int(gain.argmax())
+        if gain[t] > best[2]:
+            best = (f, float(qs[t]), float(gain[t]))
+    return best[0], best[1]
+
+
+def _fit_xgb_tree(X, g, h, max_depth, min_samples, lam):
+    """Regression tree with XGB gain splits and -G/(H+lam) leaves (sign
+    folded: g here is y - p, so leaves ADD toward the label)."""
+    nodes = []
+
+    def grow(idx, depth):
+        node_id = len(nodes)
+        nodes.append(None)
+        gs, hs = g[idx].sum(), h[idx].sum()
+        val = gs / (hs + lam)
+        if depth >= max_depth or len(idx) < min_samples:
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        f, thr = _best_split_xgb(X[idx], g[idx], h[idx], np.arange(X.shape[1]), lam)
+        if f is None:
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        mask = X[idx, f] <= thr
+        if mask.all() or not mask.any():
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        left = grow(idx[mask], depth + 1)
+        right = grow(idx[~mask], depth + 1)
+        nodes[node_id] = (f, thr, left, right, val)
+        return node_id
+
+    grow(np.arange(len(g)), 0)
+    return nodes
+
+
+class XGBoostMatcher(GradientBoostingMatcher):
+    """XGBClassifier analog (the 6th reference backbone, config.py:75-76):
+    logistic-loss boosting like GradientBoostingMatcher but with
+    hessian-weighted L2-regularized split gain and -G/(H+lambda) leaves —
+    a genuinely distinct booster, not a hyperparameter alias."""
+
+    kind = "xgb"
+
+    def __init__(
+        self,
+        n_rounds: int = 60,
+        max_depth: int = 3,
+        learning_rate: float = 0.1,
+        min_samples: int = 3,
+        reg_lambda: float = 1.0,
+        seed: int = 1,
+    ):
+        super().__init__(n_rounds, max_depth, learning_rate, min_samples, seed)
+        self.reg_lambda = reg_lambda
+
+    def fit(self, X: np.ndarray, y: np.ndarray, feature_names: list[str]):
+        self.feature_names = list(feature_names)
+        y = y.astype(np.float64)
+        p0 = min(max(y.mean(), 1e-6), 1 - 1e-6)
+        self.f0 = float(np.log(p0 / (1 - p0)))
+        F_val = np.full(len(y), self.f0)
+        self.trees = []
+        for _ in range(self.n_rounds):
+            p = _sigmoid(F_val)
+            g = y - p
+            h = p * (1 - p)
+            tree = _fit_xgb_tree(
+                X, g, h, self.max_depth, self.min_samples, self.reg_lambda
+            )
+            F_val = F_val + self.learning_rate * _predict_tree(tree, X)
+            self.trees.append(tree)
+        return self
+
+    def to_dict(self) -> dict:
+        d = super().to_dict()
+        d["kind"] = self.kind
+        d["reg_lambda"] = self.reg_lambda
+        return d
+
+
 def model_from_dict(state: dict):
     """Rebuild a broadcastable matcher from its to_dict() state."""
     if state.get("kind") == "mlp":
@@ -410,6 +515,14 @@ def model_from_dict(state: dict):
     if state.get("kind") == "bagging":
         m = BaggingMatcher()
         m.trees = state["trees"]
+        m.feature_names = state["feature_names"]
+        return m
+    if state.get("kind") == "xgb":
+        m = XGBoostMatcher()
+        m.trees = state["trees"]
+        m.f0 = state["f0"]
+        m.learning_rate = state["lr"]
+        m.reg_lambda = state.get("reg_lambda", 1.0)
         m.feature_names = state["feature_names"]
         return m
     if state.get("kind") == "gb":
@@ -432,6 +545,7 @@ def model_from_dict(state: dict):
 MATCHER_BACKBONES = {
     "RandomForestMatcher": RandomForestMatcher,
     "GradientBoostingMatcher": GradientBoostingMatcher,
+    "XGBoostMatcher": XGBoostMatcher,
     "BaggingMatcher": None,   # bound after class definitions below
     "AdaBoostMatcher": None,
 }
@@ -449,6 +563,12 @@ DEFAULT_PARAM_GRIDS = {
 
 FULL_PARAM_GRIDS = {
     **DEFAULT_PARAM_GRIDS,
+    "XGBoostMatcher": {
+        "n_rounds": [40, 80],
+        "learning_rate": [0.1, 0.3],
+        "reg_lambda": [1.0],
+        "max_depth": [3],
+    },
     "BaggingMatcher": {"n_trees": [10, 20], "max_samples": [0.8, 1.0]},
     "AdaBoostMatcher": {"n_estimators": [50, 100], "learning_rate": [0.5, 1.0]},
 }

@@ -873,7 +873,12 @@ def q_geo_threshold_sweep(spark, sf_dir):
     stats = threshold_stats(
         cand_tbl, thresholds, int(sc["n_c"]), int(sc["n_i"]), int(sc["n_int"])
     )
-    return spark.createDataFrame(stats)
+    # threshold_val is a raw percentile interpolation — round it so the
+    # independent numpy oracle (np.percentile differs in ulps from Spark's
+    # exact percentile) lands on the same bits
+    return spark.createDataFrame(stats).withColumn(
+        "threshold_val", _fround(F.col("threshold_val"), 6)
+    )
 
 
 def q_geo_seed_mean_recall(spark, sf_dir):
@@ -969,7 +974,7 @@ def q_media_features(spark, sf_dir):
         "n_bytes",
         F.posexplode("features").alias("bin", "value"),
     ).select(
-        "media_id", "n_bytes", "bin", F.round("value", 6).alias("value")
+        "media_id", "n_bytes", "bin", _fround(F.col("value"), 6).alias("value")
     )
 
 

@@ -102,9 +102,19 @@ def run_matching_quality(
     cv: int = 3,
     param_grids: dict | None = None,
     conf: EngineConf = DEFAULT_CONF,
+    train_cap: int = 60_000,
 ) -> pd.DataFrame:
     """Full §3.2 lifecycle; returns one row per backbone:
-    (model, cv_f1, precision, recall, f1) on the held-out test pairs."""
+    (model, cv_f1, precision, recall, f1) on the held-out test pairs.
+
+    ``train_cap`` bounds the driver-side fit the way the reference does:
+    sklearn fits on a FIXED-SIZE sampled partition (14k–60k pairs,
+    data_partition.py:425-426), never on the full corpus.  When the train
+    side exceeds the cap, the entity-hash window of the split is tightened
+    by cap/n_train (same md5 fraction, so it subsets — never reshuffles —
+    the original train entities), keeping the collected pandas frame at
+    ~cap rows ≈ 12 MB of driver memory REGARDLESS of corpus size; test
+    evaluation stays fully distributed."""
     properties = properties.persist()
     blocking = run_bkafi_blocking(
         properties, dims=[bkafi_dim], k_list=(n_neg + 1,), nn_param=n_neg + 1,
@@ -119,6 +129,16 @@ def run_matching_quality(
     feats = pair_features(pairs, properties).persist()
     ratio_cols = [f"{p}_ratio" for p in OBJECT_PROPERTIES]
     train, test = train_test_split_pairs(feats, 0.7, seed)
+
+    n_train = train.count()
+    if n_train > train_cap:
+        # tighten the same entity-hash window: frac < 0.7 * cap/n_train
+        # selects a deterministic subset of the train ENTITIES (uniform md5
+        # fraction → ~cap pairs in expectation), so the collect below is
+        # bounded at any corpus scale
+        train, _ = train_test_split_pairs(
+            feats, 0.7 * (train_cap / n_train), seed
+        )
 
     train_pdf = (
         train.select("cand_id", "index_id", "label", *ratio_cols)

@@ -149,89 +149,172 @@ def hull_2d_perimeter(points) -> float:
     return float(np.linalg.norm(hull - np.roll(hull, -1, axis=0), axis=1).sum())
 
 
-def hull_3d_volume(points) -> float:
-    """Brute-force O(n^4) facet enumeration hull volume: every point triple
-    whose plane has all points on one side is a hull facet; volume = sum of
-    signed origin tetras over outward-oriented facets / via divergence.
+HULL_GRID = 1 << 30  # MUST match engine functions/geometry.py::HULL_GRID
 
-    Used only on small point sets (meshes have <= ~120 unique vertices)."""
+
+def _hull_quantize(points):
+    """Snap unique vertices to the documented 2**-30 relative lattice.
+
+    Same spec as the engine's ``quantize_hull_points`` (the snap IS part of
+    the ``convex_hull_volume`` semantics): unique -> mean-center -> divide by
+    max |coord| -> rint to the 2^30 grid -> unique.  Duplicated here (not
+    imported) so the oracle stays implementation-independent; identical
+    numpy calls give a bit-identical lattice.
+    """
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
-    n = len(pts)
-    if n < 4:
-        return 0.0
-    # center for conditioning: volume is translation-invariant but the
-    # plane tests are not scale-free at large global offsets
+    if len(pts) < 4:
+        return None, 0.0
     pts = pts - pts.mean(axis=0)
-    interior = pts.mean(axis=0)
-    scale = max(1.0, float(np.abs(pts).max()))
-    eps = 1e-9 * scale
-    vol = 0.0
-    seen_planes = set()
-    for i in range(n):
-        for j in range(i + 1, n):
-            for k in range(j + 1, n):
-                a, b, c = pts[i], pts[j], pts[k]
-                nrm = np.cross(b - a, c - a)
-                norm_len = np.linalg.norm(nrm)
-                if norm_len < eps:
-                    continue
-                side = (pts - a) @ nrm
-                if side.max() > eps * norm_len and side.min() < -eps * norm_len:
-                    continue  # not a hull plane
-                # dedup coplanar triples: quantized plane key
-                nrm_u = nrm / norm_len
-                if nrm_u @ (a - interior) < 0:
-                    nrm_u = -nrm_u
-                dpl = nrm_u @ a
-                key = (round(nrm_u[0], 7), round(nrm_u[1], 7), round(nrm_u[2], 7),
-                       round(dpl / scale, 7))
-                if key in seen_planes:
-                    continue
-                seen_planes.add(key)
-                # facet polygon = 2-D hull of the on-plane points in a
-                # local plane basis (plane may contain facet-interior
-                # points, e.g. non-hull floor vertices of a prism)
-                on_plane = pts[np.abs(side) <= eps * norm_len]
-                ctr = on_plane.mean(axis=0)
-                u = on_plane[np.argmax(np.linalg.norm(on_plane - ctr, axis=1))] - ctr
-                u = u / np.linalg.norm(u)
-                v = np.cross(nrm_u, u)
-                uv = np.stack([(on_plane - ctr) @ u, (on_plane - ctr) @ v], axis=1)
-                hull_idx = _hull_2d_indices(uv)
-                ordered = on_plane[hull_idx]
-                for t in range(1, len(ordered) - 1):
-                    tri_vol = np.dot(
-                        ordered[0] - interior,
-                        np.cross(ordered[t] - interior, ordered[t + 1] - interior),
-                    ) / 6.0
-                    vol += abs(tri_vol)
-    return float(vol)
+    scale = float(np.abs(pts).max())
+    if not (scale > 0.0 and np.isfinite(scale)):
+        return None, 0.0
+    q = np.rint(pts * (float(HULL_GRID) / scale)).astype(np.int64)
+    q = np.unique(q, axis=0)
+    if len(q) < 4:
+        return None, 0.0
+    return q, scale / float(HULL_GRID)
 
 
-def _hull_2d_indices(uv: np.ndarray) -> list[int]:
-    """Indices of the 2-D convex hull of ``uv`` in CCW order (gift wrap)."""
-    n = len(uv)
-    if n <= 3:
-        return list(range(n))
-    start = min(range(n), key=lambda i: (uv[i][1], uv[i][0]))
-    hull = [start]
-    while True:
-        cur = hull[-1]
-        cand = (cur + 1) % n
-        for j in range(n):
-            if j == cur:
-                continue
-            cross = np.cross(uv[cand] - uv[cur], uv[j] - uv[cur])
-            d_cand = np.linalg.norm(uv[cand] - uv[cur])
-            d_j = np.linalg.norm(uv[j] - uv[cur])
-            if cross < -1e-12 or (abs(cross) <= 1e-12 and d_j > d_cand):
-                cand = j
-        if cand == start:
+def _iplane(P, i, j, k):
+    """Exact integer plane through lattice points i,j,k: (nx,ny,nz,d)."""
+    ax, ay, az = P[i]
+    bx, by, bz = P[j]
+    cx, cy, cz = P[k]
+    ux, uy, uz = bx - ax, by - ay, bz - az
+    vx, vy, vz = cx - ax, cy - ay, cz - az
+    nx = uy * vz - uz * vy
+    ny = uz * vx - ux * vz
+    nz = ux * vy - uy * vx
+    return nx, ny, nz, nx * ax + ny * ay + nz * az
+
+
+# cyclic axis pairs so CCW in the kept plane == CCW seen from +dropped axis
+_KEEP_AXES = {0: (1, 2), 1: (2, 0), 2: (0, 1)}
+
+
+def hull_3d_volume(points) -> float:
+    """Brute-force facet-enumeration hull volume on the 2**-30 snap lattice,
+    with EXACT integer predicates — independent of the engine's incremental
+    beneath-beyond hull, yet BIT-IDENTICAL to it by exactness (same lattice,
+    same exact rational volume).
+
+    Every non-collinear point triple whose plane has all points on one side
+    (float prefilter + exact verification inside the guard band) is a
+    supporting plane; facets are deduped by their exact on-plane point set,
+    ordered by an exact 2-D monotone chain in the dominant-axis projection,
+    fan-triangulated, and summed as exact integer determinants (divergence
+    theorem).  O(n^4) with a vectorized float prefilter — meshes have
+    <= ~120 unique vertices, and this runs only in tests / gen_expected.
+    """
+    q, cell = _hull_quantize(points)
+    if q is None:
+        return 0.0
+    m = len(q)
+    P = [(int(x), int(y), int(z)) for x, y, z in q]
+    pf = q.astype(np.float64)
+
+    # upfront exact degeneracy check: all points coplanar -> 0 (also removes
+    # the outward-orientation ambiguity a doubly-supporting plane would have)
+    base = None
+    for j in range(1, m):
+        for k in range(j + 1, m):
+            nx, ny, nz, d = _iplane(P, 0, j, k)
+            if nx or ny or nz:
+                base = (nx, ny, nz, d)
+                break
+        if base is not None:
             break
-        hull.append(cand)
-        if len(hull) > n:
-            break
-    return hull
+    if base is None:
+        return 0.0  # all collinear
+    nx, ny, nz, d = base
+    if all(nx * x + ny * y + nz * z - d == 0 for x, y, z in P):
+        return 0.0  # all coplanar
+
+    # Float prefilter guard: side = n.(p - a) with float n from int64 diffs
+    # (|diff| <= 2^31, products <= 2^62 -> n err <~ 2^11 absolute), p - a
+    # exact <= 2^31, dot fp error <~ 2^43.  2^46 carries an 8x margin.
+    GUARD = 2.0 ** 46
+
+    seen_triples: set = set()
+    seen_facets: set = set()
+    vol6 = 0
+    for i in range(m):
+        ai = pf[i]
+        di = pf - ai  # (m,3)
+        for j in range(i + 1, m):
+            u = di[j]
+            # normals of all triples (i,j,k) at once; sides of all points
+            nrm = np.cross(np.broadcast_to(u, di.shape), di)  # (m,3)
+            sides = di @ nrm.T  # (m points, m triples)
+            smax = sides.max(axis=0)
+            smin = sides.min(axis=0)
+            cand = np.nonzero((smax <= GUARD) | (smin >= -GUARD))[0]
+            for k in cand:
+                k = int(k)
+                if k <= j:
+                    continue
+                if (i, j, k) in seen_triples:
+                    continue
+                nx, ny, nz, d = _iplane(P, i, j, k)
+                if nx == 0 and ny == 0 and nz == 0:
+                    continue  # collinear triple
+                vals = [nx * x + ny * y + nz * z - d for x, y, z in P]
+                if any(v > 0 for v in vals) and any(v < 0 for v in vals):
+                    continue  # prefilter false positive: not supporting
+                onset = tuple(t for t, v in enumerate(vals) if v == 0)
+                for t0 in range(len(onset)):
+                    for t1 in range(t0 + 1, len(onset)):
+                        for t2 in range(t1 + 1, len(onset)):
+                            seen_triples.add((onset[t0], onset[t1], onset[t2]))
+                if onset in seen_facets:
+                    continue
+                seen_facets.add(onset)
+                if any(v > 0 for v in vals):  # n points inward -> flip
+                    nx, ny, nz, d = -nx, -ny, -nz, -d
+                # order the facet polygon: exact monotone chain in the
+                # dominant-axis projection (drops collinear/interior points)
+                drop = max(range(3), key=lambda t: abs((nx, ny, nz)[t]))
+                a0, a1 = _KEEP_AXES[drop]
+                pts2 = sorted(((P[t][a0], P[t][a1], t) for t in onset))
+                ring = _monotone_chain_exact(pts2)
+                if (nx, ny, nz)[drop] < 0:
+                    ring = ring[::-1]
+                if len(ring) < 3:
+                    continue
+                o = P[ring[0]]
+                for t in range(1, len(ring) - 1):
+                    b = P[ring[t]]
+                    c = P[ring[t + 1]]
+                    vol6 += (
+                        o[0] * (b[1] * c[2] - b[2] * c[1])
+                        + o[1] * (b[2] * c[0] - b[0] * c[2])
+                        + o[2] * (b[0] * c[1] - b[1] * c[0])
+                    )
+    return float(abs(vol6)) / 6.0 * cell ** 3
+
+
+def _monotone_chain_exact(pts2) -> list[int]:
+    """Andrew monotone chain on exact integer 2-D points ``(x, y, idx)``
+    (pre-sorted); returns original indices in CCW order, collinear points
+    dropped."""
+    if len(pts2) <= 2:
+        return [t[2] for t in pts2]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts2)
+    upper = half(pts2[::-1])
+    return [t[2] for t in lower[:-1] + upper[:-1]]
 
 
 # --------------------------------------------------------------------------

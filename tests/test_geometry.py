@@ -125,3 +125,151 @@ class TestPropertiesVsOracle:
         for obj_type in ("cands", "index"):
             for rec in fixture_objects[obj_type].values():
                 assert 10 <= len(rec["mesh"]) <= 30
+
+
+class TestRound3Exactness:
+    """Round-3 additions: the hull is EXACT on the shared snap lattice, so
+    engine and oracle must agree bit-for-bit (no tolerance); the batched
+    property kernel must agree with the per-object kernel; and the
+    independent expected-parquet oracle must actually CATCH a kernel bug
+    (the round-2 G8 hull bug slipped through the then-golden tier)."""
+
+    def test_hull_bit_identical_to_oracle_on_degenerate_sets(self):
+        rng = np.random.default_rng(7)
+        for trial in range(120):
+            n = int(rng.integers(4, 30))
+            kind = trial % 6
+            pts = rng.uniform(-100, 100, size=(n, 3))
+            if kind == 1:          # near-coplanar jitter
+                pts[:, 2] = rng.choice([0.0, 1.19e-05, -1e-5, 5.0], size=n)
+            elif kind == 2:        # two exact facade planes
+                pts[: n // 2, 0] = 0.0
+                pts[n // 2 :, 1] = 7.0
+            elif kind == 3:        # grid-snapped coplanar-heavy
+                pts = np.round(pts * 2) / 2
+            elif kind == 4:        # collinear + one off-line point
+                t = rng.uniform(-1, 1, size=n)
+                pts = np.outer(t, [1.0, 2.0, 3.0])
+                pts[-1] += [0, 0, 1.0]
+            elif kind == 5:        # box + on-face points
+                pts = np.array(
+                    [[x, y, z] for x in (0, 10) for y in (0, 8) for z in (0, 4)],
+                    dtype=float,
+                )
+                pts = np.vstack([pts, rng.uniform(0, 1, (n, 3)) * [10, 8, 0]])
+            ve = G.convex_hull_3d_volume(pts)
+            vo = O.hull_3d_volume(pts)
+            assert ve == vo, (trial, kind, ve, vo)
+
+    def test_hull_recorded_counterexample_round2(self):
+        """The Hypothesis-found G8 failure (round-2 verdict): scale cubic
+        invariance on a near-coplanar 7-point set."""
+        p = np.array(
+            [
+                (0.0, 0.0, 1.0),
+                (0.0, -2.0, -7.0),
+                (0.0, -7.0, 0.0),
+                (0.0, -7.0, 1.19073486328125e-05),
+                (0.0, -7.0, -1.0),
+                (1.19073486328125e-05, 0.0, 0.0),
+                (-1.0, 0.0, 0.0),
+            ]
+        )
+        v0 = G.convex_hull_3d_volume(p)
+        v1 = G.convex_hull_3d_volume(p * 3.0)
+        assert abs(v1 - v0 * 27.0) <= 1e-6 * max(1.0, v0 * 27.0)
+
+    def test_batch_kernel_matches_per_object(self):
+        pdf = P.generate_pages_pdf(25, seed=3)
+        objs = O.object_dicts_from_pages(pdf)
+        cl, ol = [], []
+        for t in ("cands", "index"):
+            for rec in objs[t].values():
+                cl.append(
+                    np.concatenate(
+                        [np.asarray(s, dtype=np.float64).ravel() for s in rec["mesh"]]
+                    )
+                )
+                ol.append(
+                    np.cumsum([0] + [len(s) for s in rec["mesh"]]).astype(np.int64)
+                )
+        for log1p in (True, False):
+            batch = G.compute_properties_batch(cl, ol, log1p=log1p)
+            for i in range(len(cl)):
+                ref = G.compute_properties_object(cl[i], ol[i], log1p=log1p)
+                for k, v in ref.items():
+                    bv = float(batch[k][i])
+                    if np.isnan(v):
+                        assert np.isnan(bv), (i, k)
+                    elif np.isinf(v):
+                        assert bv == v, (i, k)
+                    else:
+                        assert abs(bv - v) <= 1e-9 * max(1.0, abs(v)), (i, k, v, bv)
+
+    def test_independent_properties_oracle_catches_kernel_bug(self, monkeypatch):
+        """Perturb one kernel value the way a real regression would and
+        assert the promoted independent oracle (tools/gen_expected.py::
+        expected_geo_properties) DISAGREES — i.e. the driver row would go
+        red.  A golden-tier oracle cannot fail this way (it captures the
+        engine's own output), which is how the round-2 G8 bug hid."""
+        import importlib
+        tools_dir = __import__("os").path.join(
+            __import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+            "tools",
+        )
+        import sys as _sys
+        _sys.path.insert(0, tools_dir)
+        try:
+            gen = importlib.import_module("gen_expected")
+        finally:
+            _sys.path.remove(tools_dir)
+        pdf = P.generate_pages_pdf(8, seed=42)
+        objs = O.object_dicts_from_pages(pdf)
+        prop_dict = {p: {"cands": {}, "index": {}} for p in O.PROPERTY_NAMES}
+        for t in ("cands", "index"):
+            for oid, rec in objs[t].items():
+                props = O.properties_of_object(rec, log1p=True)
+                for p in O.PROPERTY_NAMES:
+                    prop_dict[p][t][oid] = props[p]
+        expected = gen.expected_geo_properties(prop_dict)
+
+        # engine side, healthy: must agree bit-for-bit after spark_round(6)
+        cl, ol, ids = [], [], []
+        for t in ("cands", "index"):
+            for oid, rec in objs[t].items():
+                cl.append(
+                    np.concatenate(
+                        [np.asarray(s, dtype=np.float64).ravel() for s in rec["mesh"]]
+                    )
+                )
+                ol.append(
+                    np.cumsum([0] + [len(s) for s in rec["mesh"]]).astype(np.int64)
+                )
+                ids.append((oid, t))
+        batch = G.compute_properties_batch(cl, ol, log1p=True)
+        exp_by_key = {
+            (r.obj_id, r.source): r for r in expected.itertuples(index=False)
+        }
+        for i, key in enumerate(ids):
+            row = exp_by_key[key]
+            for p in O.PROPERTY_NAMES:
+                ev = getattr(row, p)
+                bv = gen.spark_round(float(batch[p][i]), 6)
+                assert (ev == bv) or (np.isnan(ev) and np.isnan(bv)), (key, p)
+
+        # engine side, BROKEN hull (simulated regression): oracle must flag
+        real_hull = G.convex_hull_3d_volume
+        monkeypatch.setattr(
+            G, "convex_hull_3d_volume",
+            lambda pts, **kw: real_hull(pts, **kw) * 1.01,
+        )
+        broken = G.compute_properties_batch(cl, ol, log1p=True)
+        diffs = 0
+        for i, key in enumerate(ids):
+            row = exp_by_key[key]
+            for p in ("convex_hull_volume", "compactness_3d"):
+                ev = getattr(row, p)
+                bv = gen.spark_round(float(broken[p][i]), 6)
+                if not ((ev == bv) or (np.isnan(ev) and np.isnan(bv))):
+                    diffs += 1
+        assert diffs > 0, "independent oracle failed to catch a 1% hull bug"

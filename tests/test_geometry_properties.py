@@ -2,7 +2,7 @@
 SURVEY.md §5 layer 4."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from geospatial_object_matching_spark.functions import geometry as G
 from geospatial_object_matching_spark.functions.cells import (
@@ -34,6 +34,16 @@ def test_hull_volume_translation_invariant(pts, shift):
 
 @settings(max_examples=30, deadline=None)
 @given(coords3d, st.floats(0.1, 10.0, allow_nan=False))
+@example(
+    pts=[(0.0, 0.0, 1.0),
+     (0.0, -2.0, -7.0),
+     (0.0, -7.0, 0.0),
+     (0.0, -7.0, 1.19073486328125e-05),
+     (0.0, -7.0, -1.0),
+     (1.19073486328125e-05, 0.0, 0.0),
+     (-1.0, 0.0, 0.0)],
+    s=3.0,
+).via('discovered failure')
 def test_hull_volume_scale_cubic(pts, s):
     p = np.asarray(pts, dtype=np.float64)
     v0 = G.convex_hull_3d_volume(p)

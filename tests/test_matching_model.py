@@ -272,9 +272,10 @@ class TestSecondBackboneAndLifecycle:
 
 
 class TestAllBackbones:
-    """Bagging + AdaBoost backbones (reference model_list parity:
-    config.py:75-77 — RF/GB/Bagging/Ada implemented; the Newton-step GB
-    doubles as the XGB analog; MLP/CLIP out of scope)."""
+    """Bagging + AdaBoost + MLP + XGB backbones (reference model_list
+    parity, config.py:75-76: RF/AdaBoost/GradientBoosting/Bagging/XGB/MLP —
+    all SIX implemented; XGBoostMatcher is a distinct hessian-weighted
+    L2-regularized booster, not a GradientBoosting alias)."""
 
     def _planted(self, n=300, seed=5):
         rng = np.random.default_rng(seed)
@@ -283,7 +284,8 @@ class TestAllBackbones:
         return X, y
 
     @pytest.mark.parametrize(
-        "name", ["BaggingMatcher", "AdaBoostMatcher", "MLPMatcher"]
+        "name",
+        ["BaggingMatcher", "AdaBoostMatcher", "MLPMatcher", "XGBoostMatcher"],
     )
     def test_backbone_fits_and_roundtrips(self, name):
         from geospatial_object_matching_spark.operators.matching_model import (
@@ -299,6 +301,21 @@ class TestAllBackbones:
         m2 = model_from_dict(m.to_dict())
         np.testing.assert_allclose(m2.predict_proba(X), m.predict_proba(X))
 
+    def test_xgb_is_not_a_gb_alias(self):
+        """Same hyperparameters, same data — the two boosters must emit
+        different probability surfaces (hessian-weighted regularized splits
+        vs residual-variance splits)."""
+        from geospatial_object_matching_spark.operators.matching_model import (
+            GradientBoostingMatcher,
+            XGBoostMatcher,
+        )
+
+        X, y = self._planted(n=250, seed=9)
+        cols = [f"f{i}" for i in range(X.shape[1])]
+        gb = GradientBoostingMatcher(n_rounds=30, seed=2).fit(X, y, cols)
+        xgb = XGBoostMatcher(n_rounds=30, seed=2).fit(X, y, cols)
+        assert not np.allclose(gb.predict_proba(X), xgb.predict_proba(X))
+
     def test_full_grid_covers_all_backbones(self):
         from geospatial_object_matching_spark.operators.matching_model import (
             FULL_PARAM_GRIDS,
@@ -312,6 +329,7 @@ class TestAllBackbones:
         assert set(out) == {
             "RandomForestMatcher",
             "GradientBoostingMatcher",
+            "XGBoostMatcher",
             "BaggingMatcher",
             "AdaBoostMatcher",
             "MLPMatcher",

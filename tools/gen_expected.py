@@ -60,16 +60,19 @@ TIER = {
     "simhash_sigs": "independent",
     "lsh_buckets": "independent",
     "media_features": "independent",
-    "geo_properties": "golden",
-    "geo_blocking_pairs": "golden",
+    "geo_properties": "independent",
+    "geo_blocking_pairs": "independent",
+    "geo_match_decisions": "independent",
+    "geo_pair_features": "independent",
+    "geo_threshold_sweep": "independent",
+    "geo_transform": "independent",
+    # still golden: learned-model outputs (blocking_fi, matching_quality),
+    # the rasterizer coverage fractions (tiles), and the engine-seeded
+    # sampling RNG (partitions) — their independent signal lives in pytest
     "geo_blocking_fi": "golden",
-    "geo_match_decisions": "golden",
-    "geo_pair_features": "golden",
     "geo_tiles": "golden",
-    "geo_threshold_sweep": "golden",
     "geo_matching_quality": "golden",
     "geo_partitions": "golden",
-    "geo_transform": "golden",
 }
 
 GOLDEN_QUERIES = sorted(k for k, v in TIER.items() if v == "golden")
@@ -324,12 +327,15 @@ def expected_media_features(pages_pdf) -> pd.DataFrame:
         total = len(blob)
         for i, c in enumerate(counts):
             val = (c / total) if total else float(c)
+            # floor-based half-up rounding — same IEEE op chain as the
+            # query's _fround (entry_queries.py), bit-stable across engines
+            # (Python's round() banker's-rounds ties the other way)
             rows.append(
                 {
                     "media_id": url,
                     "n_bytes": total,
                     "bin": np.int32(i),
-                    "value": round(val, 6),
+                    "value": math.floor(val * 1e6 + 0.5) / 1e6,
                 }
             )
     return pd.DataFrame(rows).astype({"bin": "int32"})
@@ -345,6 +351,190 @@ def expected_lsh_buckets(sf_dir: str, n_planes: int = 6, seed: int = 7):
     return pd.DataFrame(
         {"vec_id": emb["vec_id"].astype("int64"), "bucket": buckets.astype("int64")}
     )
+
+
+# --------------------------------------------------------------------------
+# promoted independent oracles (round 3): properties, blocking pairs, match
+# decisions, pair features, threshold sweep, transform — recomputed from the
+# numpy oracle, NOT captured engine output.  The engine/oracle float chains
+# differ in ulps, so every compared float is rounded on BOTH sides with the
+# SAME convention: python round() where the engine kernel python-rounds
+# (knn dists), spark_round() where the query uses F.round, and the
+# floor(x*10^d+0.5) chain where the query uses _fround.
+# --------------------------------------------------------------------------
+
+from decimal import Decimal, ROUND_HALF_UP  # noqa: E402
+
+
+def spark_round(x: float, d: int) -> float:
+    """Bit-exact emulation of Spark's round(double, d): Spark converts via
+    BigDecimal.valueOf (the SHORTEST decimal repr — same string Python's
+    repr() produces) then setScale(d, HALF_UP) (away from zero); NaN and
+    +-Inf pass through (Spark RoundBase does the same)."""
+    xf = float(x)
+    if not math.isfinite(xf):
+        return xf
+    return float(
+        Decimal(repr(xf)).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+    )
+
+
+def _floor_round(x: float, d: int) -> float:
+    """The query-side _fround chain (entry_queries.py): floor(x*10^d+0.5)/10^d."""
+    p = float(10 ** d)
+    return math.floor(x * p + 0.5) / p
+
+
+def expected_geo_properties(prop_dict) -> pd.DataFrame:
+    """All 25 properties per object, spark_round(_, 6) like q_geo_properties."""
+    rows = []
+    for source in ("cands", "index"):
+        for oid in prop_dict[O.PROPERTY_NAMES[0]][source]:
+            row = {"obj_id": oid, "source": source}
+            for p in O.PROPERTY_NAMES:
+                row[p] = spark_round(prop_dict[p][source][oid], 6)
+            rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def _bkafi_nn(prop_dict, dim: int, k: int, round_dists: int = 3):
+    """Feature order by ratio-std + top-dim vectors + exact kNN — the
+    blocking spec (reference blocking.py:106-118) on oracle primitives."""
+    order = list(O.property_ratios(prop_dict).keys())
+    cands, index = O.bkafi_vectors(prop_dict, order, dim)
+    return O.knn_join(cands, index, k=k, round_dists=round_dists), order
+
+
+def expected_blocking_pairs(prop_dict, dim: int = 3, k: int = 21) -> pd.DataFrame:
+    nn, _ = _bkafi_nn(prop_dict, dim, k)
+    rows = [
+        {
+            "bkafi_dim": dim,
+            "cand_id": cid,
+            "index_id": iid,
+            "rank": rank,
+            "dist": dist,
+            "label": 1 if cid == iid else 0,
+        }
+        for cid, lst in nn.items()
+        for rank, (iid, dist) in enumerate(lst, start=1)
+    ]
+    return pd.DataFrame(rows).astype(
+        {"bkafi_dim": "int32", "rank": "int32", "label": "int32"}
+    )
+
+
+def _matched_dists(prop_dict, feats) -> np.ndarray:
+    """Scaled L2 distances between matched (id in both sides) objects,
+    RobustScaler fit on the matched cands only (bkafi_with_threshold.py:
+    176-182; engine matched_pair_vectors)."""
+    c0 = prop_dict[feats[0]]["cands"]
+    ids = [i for i in prop_dict[feats[0]]["index"] if i in c0]
+    Xc = np.array(
+        [[prop_dict[f]["cands"][i] for f in feats] for i in ids], dtype=np.float64
+    )
+    Xi = np.array(
+        [[prop_dict[f]["index"][i] for f in feats] for i in ids], dtype=np.float64
+    )
+    center, scale = O.robust_scale_fit(Xc)
+    return np.linalg.norm((Xc - center) / scale - (Xi - center) / scale, axis=1)
+
+
+def expected_match_decisions(
+    prop_dict, dim: int = 3, k: int = 21, percentile: float = 0.95
+) -> pd.DataFrame:
+    nn, order = _bkafi_nn(prop_dict, dim, k)
+    thr = float(np.percentile(_matched_dists(prop_dict, order[:dim]), percentile * 100))
+    rows = [
+        {
+            "cand_id": cid,
+            "index_id": iid,
+            "rank": rank,
+            "dist": dist,
+            "label": 1 if cid == iid else 0,
+        }
+        for cid, lst in nn.items()
+        for rank, (iid, dist) in enumerate(lst, start=1)
+        if dist <= thr
+    ]
+    return pd.DataFrame(rows).astype({"rank": "int32", "label": "int32"})
+
+
+def expected_pair_features(prop_dict, dim: int = 3, k: int = 5) -> pd.DataFrame:
+    """25 ratio features over kNN(k=5) pairs — ratio = min(1000,
+    spark_round(c/i, 3)), i==0 or NaN -> 1000 (engine ratio_expr: Spark
+    least() treats NaN as greatest, python min(1000, nan) keeps 1000)."""
+    nn, _ = _bkafi_nn(prop_dict, dim, k)
+    rows = []
+    for cid, lst in nn.items():
+        for iid, _d in lst:
+            row = {"cand_id": cid, "index_id": iid}
+            for p in O.PROPERTY_NAMES:
+                c = prop_dict[p]["cands"][cid]
+                i = prop_dict[p]["index"][iid]
+                if i == 0.0:
+                    r = 1000.0
+                else:
+                    rr = spark_round(c / i, 3)
+                    r = 1000.0 if math.isnan(rr) else min(1000.0, rr)
+                row[f"{p}_ratio"] = r
+            rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def expected_threshold_sweep(prop_dict, dim: int = 3, k: int = 100) -> pd.DataFrame:
+    from geospatial_object_matching_spark.config import THRESHOLD_PERCENTILES
+
+    nn, order = _bkafi_nn(prop_dict, dim, k, round_dists=7)
+    d = _matched_dists(prop_dict, order[:dim])
+    cand_ids = set(prop_dict[order[0]]["cands"])
+    index_ids = set(prop_dict[order[0]]["index"])
+    n_c, n_i = len(cand_ids), len(index_ids)
+    n_int = len(cand_ids & index_ids)
+    dists = np.array([dd for lst in nn.values() for _iid, dd in lst])
+    pos_dists = np.sort(
+        np.array([dd for cid, lst in nn.items() for iid, dd in lst if cid == iid])
+    )
+    dists.sort()
+    rows = []
+    for p in sorted(THRESHOLD_PERCENTILES):
+        t = float(np.percentile(d, p * 100))
+        n_adm = int(np.searchsorted(dists, t, side="right"))
+        n_pos = int(np.searchsorted(pos_dists, t, side="right"))
+        rows.append(
+            {
+                "percentile": p,
+                "recall": round(n_pos / n_int, 3),
+                "cand_pairs_num": n_adm,
+                "reduction_ratio": round(1.0 - n_adm / (n_c * n_i), 8),
+                "threshold_val": _floor_round(t, 6),
+            }
+        )
+    return pd.DataFrame(rows).astype({"cand_pairs_num": "int64"})
+
+
+def expected_transform(objs) -> pd.DataFrame:
+    """Kabsch/umeyama fit over matched centroids (engine
+    operators/transform.py; reference blocking.py:78-92)."""
+    ids = sorted(set(objs["cands"]) & set(objs["index"]))
+    C = np.array([objs["cands"][i]["centroid"] for i in ids], dtype=np.float64)
+    I = np.array([objs["index"][i]["centroid"] for i in ids], dtype=np.float64)
+    mc, mi = C.mean(axis=0), I.mean(axis=0)
+    H = (I - mi).T @ (C - mc)
+    U, S, Vt = np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:
+        Vt[-1, :] *= -1
+        R = Vt.T @ U.T
+    ss_c = float(((C - mc) ** 2).sum())
+    ss_i = float(((I - mi) ** 2).sum())
+    scale = float(np.sqrt(ss_c / ss_i)) if ss_i else 1.0
+    t = mc - scale * (R @ mi)
+    row = {f"r{a}{b}": round(float(R[a, b]), 6) for a in range(3) for b in range(3)}
+    row["scale"] = round(scale, 6)
+    for i, v in enumerate(t):
+        row[f"t{i}"] = round(float(v), 4)
+    return pd.DataFrame([row])[sorted(row)]
 
 
 # --------------------------------------------------------------------------
@@ -420,6 +610,22 @@ def main() -> None:
         acc.setdefault("geo_blocking_recall", []).append(
             tag(expected_blocking_recall(prop_dict, objs))
         )
+        acc.setdefault("geo_properties", []).append(
+            tag(expected_geo_properties(prop_dict))
+        )
+        acc.setdefault("geo_blocking_pairs", []).append(
+            tag(expected_blocking_pairs(prop_dict))
+        )
+        acc.setdefault("geo_match_decisions", []).append(
+            tag(expected_match_decisions(prop_dict))
+        )
+        acc.setdefault("geo_pair_features", []).append(
+            tag(expected_pair_features(prop_dict))
+        )
+        acc.setdefault("geo_threshold_sweep", []).append(
+            tag(expected_threshold_sweep(prop_dict))
+        )
+        acc.setdefault("geo_transform", []).append(tag(expected_transform(objs)))
         acc.setdefault("geo_centroid_knn", []).append(
             tag(expected_centroid_knn(objs))
         )
