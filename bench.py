@@ -45,8 +45,17 @@ def run_geo_pipeline(spark, sf_dir: str, n_entities: int) -> dict:
     res = run_pipeline(
         spark, pages, bkafi_dim=3, decision_percentile=0.95, with_features=True
     )
-    n_matches = res["matches"].count()
-    n_feat = res["pair_features"].count()
+    # the two result materializations are independent — overlap them from
+    # driver threads (same policy run_pipeline applies internally); on a
+    # saturated small-core run this is neutral, on the big-core run it
+    # fills cores a sequential count would leave idle
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_m = pool.submit(res["matches"].count)
+        f_f = pool.submit(res["pair_features"].count)
+        n_matches = f_m.result()
+        n_feat = f_f.result()
     wall = time.time() - t0
     pages.unpersist()
     return {

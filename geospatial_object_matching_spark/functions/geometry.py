@@ -556,9 +556,17 @@ def compute_properties_object(
 
 
 def compute_properties_batch(
-    coords_list, offsets_list, log1p: bool = True
+    coords_list, offsets_list, log1p: bool = True, chunk: int = 1500
 ) -> dict[str, np.ndarray]:
     """Property columns for a batch of meshes → {name: float64 array}.
+
+    Processes the batch in ``chunk``-object slices: a 1.5k-object slice
+    (~170k points, ~4 MB) stays cache-resident across the kernel's ~30
+    vectorized passes, where a full 10k-object Arrow batch (~1.1M points)
+    is memory-bandwidth-bound — and this host (like any oversubscribed
+    executor) saturates DRAM bandwidth near 16 concurrent workers, so
+    bandwidth-bound kernels anti-scale (BENCH.md environment note).
+    
 
     Batch-vectorized (round-3): every reduction that the per-object kernel
     ran as a tiny numpy call (area/volume fans, coordinate pools, vertex
@@ -574,6 +582,22 @@ def compute_properties_batch(
     relative — far below the 1e-6 rounding the driver oracle compares at.
     ``tests/test_geometry_properties.py`` asserts batch≡object parity.
     """
+    n = len(coords_list)
+    if n > chunk:
+        parts = [
+            _properties_chunk(coords_list[i : i + chunk], offsets_list[i : i + chunk], log1p)
+            for i in range(0, n, chunk)
+        ]
+        return {
+            name: np.concatenate([p[name] for p in parts])
+            for name in OBJECT_PROPERTIES
+        }
+    return _properties_chunk(coords_list, offsets_list, log1p)
+
+
+def _properties_chunk(
+    coords_list, offsets_list, log1p: bool
+) -> dict[str, np.ndarray]:
     n = len(coords_list)
     out: dict[str, np.ndarray] = {
         name: np.empty(n, dtype=np.float64) for name in OBJECT_PROPERTIES
@@ -666,13 +690,31 @@ def compute_properties_batch(
     perimeter = np.where(p1 != 0.0, p1, np.maximum(p2, 1.0))
     out["perimeter"] = perimeter
 
+    # ---- unique vertices (rows) per object (pipelines.py:137-139)
+    vidx = np.lexsort((allz, ally, allx, pobj))
+    sp = allpts[vidx]
+    so = pobj[vidx]
+    firstv = np.ones(P, dtype=bool)
+    firstv[1:] = (so[1:] != so[:-1]) | np.any(sp[1:] != sp[:-1], axis=1)
+    verts = sp[firstv]
+    vobj = so[firstv]
+
     # ---- per-axis unique coordinate pools (object_properties.py:28-37):
-    # num_floors = |unique z|, axes_symmetry = mean of per-axis stds (ddof=0)
-    def _axis_unique(vals):
-        idx = np.lexsort((vals, pobj))
-        v = vals[idx]
-        o = pobj[idx]
-        first = np.ones(P, dtype=bool)
+    # num_floors = |unique z|, axes_symmetry = mean of per-axis stds (ddof=0).
+    # The unique VALUE set per axis over all points equals the set over the
+    # deduped verts (projection of a deduped row set), so these pools come
+    # from the ~3x smaller verts arrays; the x pool needs no sort at all —
+    # verts are already lex-sorted by (obj, x, y, z).
+    V = len(verts)
+
+    def _vert_axis_unique(vals, presorted=False):
+        if presorted:
+            v, o = vals, vobj
+        else:
+            idx = np.lexsort((vals, vobj))
+            v = vals[idx]
+            o = vobj[idx]
+        first = np.ones(V, dtype=bool)
         first[1:] = (o[1:] != o[:-1]) | (v[1:] != v[:-1])
         return v[first], o[first]
 
@@ -684,22 +726,13 @@ def compute_properties_batch(
         )
         return np.sqrt(var)
 
-    ux, uxo = _axis_unique(allx)
-    uy, uyo = _axis_unique(ally)
-    uz, uzo = _axis_unique(allz)
+    ux, uxo = _vert_axis_unique(verts[:, 0], presorted=True)
+    uy, uyo = _vert_axis_unique(verts[:, 1])
+    uz, uzo = _vert_axis_unique(verts[:, 2])
     out["num_floors"] = np.bincount(uzo, minlength=n).astype(np.float64)
     out["axes_symmetry"] = (
         _seg_std(ux, uxo) + _seg_std(uy, uyo) + _seg_std(uz, uzo)
     ) / 3.0
-
-    # ---- unique vertices (rows) per object (pipelines.py:137-139)
-    vidx = np.lexsort((allz, ally, allx, pobj))
-    sp = allpts[vidx]
-    so = pobj[vidx]
-    firstv = np.ones(P, dtype=bool)
-    firstv[1:] = (so[1:] != so[:-1]) | np.any(sp[1:] != sp[:-1], axis=1)
-    verts = sp[firstv]
-    vobj = so[firstv]
     vcnt = np.bincount(vobj, minlength=n).astype(np.float64)
     vstart = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.bincount(vobj, minlength=n), out=vstart[1:])

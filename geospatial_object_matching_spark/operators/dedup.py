@@ -131,23 +131,24 @@ def minhash_signatures(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with np.errstate(over="ignore"):
-            tmp = np.empty(1 << 16, dtype=np.uint64)  # reused scratch
+            # ONE reused (n_hashes, S) scratch: the whole signature is three
+            # numpy calls per doc (outer-multiply into the buffer, add b,
+            # row-min) instead of n_hashes separate passes — per-call
+            # dispatch dominated the old loop; the reused buffer keeps the
+            # sandbox's fresh-allocation page-fault trap out of the path
+            buf = np.empty((n_hashes, 1 << 12), dtype=np.uint64)
+            bcol = np.ascontiguousarray(b)[:, None]
             for pdf in batches:
                 sigs = []
                 for text in pdf[text_col]:
                     sh = _shingle_hashes(text or "", shingle_k)
-                    # universal-ish hash mod 2^64 (uint64 wraparound is the
-                    # modulus); per-hash pass into ONE reused buffer — no
-                    # (n_hashes × n_shingles) fresh allocation per doc
-                    if len(sh) > len(tmp):
-                        tmp = np.empty(len(sh), dtype=np.uint64)
-                    t = tmp[: len(sh)]
-                    sig = np.empty(n_hashes, dtype=np.uint64)
-                    for i in range(n_hashes):
-                        np.multiply(sh, a[i], out=t)
-                        t += b[i]
-                        sig[i] = t.min()
-                    sigs.append(sig.astype(np.int64))
+                    s_len = len(sh)
+                    if s_len > buf.shape[1]:
+                        buf = np.empty((n_hashes, s_len), dtype=np.uint64)
+                    t = buf[:, :s_len]
+                    np.multiply.outer(a, sh, out=t)
+                    t += bcol
+                    sigs.append(t.min(axis=1).astype(np.int64))
                 yield pd.DataFrame(
                     {"doc_id": pdf[id_col].astype("int64"), "signature": sigs}
                 )

@@ -995,6 +995,116 @@ def q_geo_matching_quality(spark, sf_dir):
     return spark.createDataFrame(res)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): first-seen dedup by content fingerprint with
+    TTL-bounded state. The documents table is replayed as TWO parquet
+    micro-batches (low doc_ids first), so the emitted winner per
+    fingerprint equals the batch truth MIN(doc_id) — which is the DuckDB
+    oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", TX.fingerprint64(F.col("text")).alias("fingerprint"))
+        .toPandas()
+    )
+    d = d.sort_values("doc_id").reset_index(drop=True)
+    tmp = tempfile.mkdtemp(prefix="gom_stream_dedup_")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    half = len(d) // 2
+    pa_path = os.path.join(tmp, "a.parquet")
+    pb_path = os.path.join(tmp, "b.parquet")
+    pq.write_table(pa.Table.from_pandas(d.iloc[:half], preserve_index=False), pa_path)
+    pq.write_table(pa.Table.from_pandas(d.iloc[half:], preserve_index=False), pb_path)
+    # FileStreamSource orders micro-batches by modification time; the
+    # low-doc_id chunk must be processed first for first-seen == MIN(doc_id)
+    now = os.path.getmtime(pb_path)
+    os.utime(pa_path, (now - 10, now - 10))
+
+    from ..streaming.stateful import DOCS_STREAM_SCHEMA, stream_dedup_first_seen
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    # availableNow: process everything then terminate (the batch-replay
+    # trigger); no TTL here — registered processing-time timeouts would
+    # keep the query alive past the replayed data (see stateful.py)
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP = """
+SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint,
+       MIN(doc_id) AS doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_stream_cell_topk(spark, sf_dir):
+    """Stateful incremental per-cell top-k (applyInPandasWithState,
+    streaming/stateful.py). One micro-batch here (so the append-mode
+    memory sink holds exactly the final leaderboard; cross-batch merging
+    is covered in tests/test_streaming_stateful.py); the oracle is a
+    row_number window over the geo_extract expected parquet — the score
+    is the extraction's own rounded lat, bit-equal on both sides."""
+    import os
+    import tempfile
+    import uuid
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15)
+    rows = objects.select(
+        "cell_id",
+        F.concat_ws(":", "source", "obj_id").alias("obj_id"),
+        F.round("lat", 6).alias("score"),
+    ).toPandas()
+    tmp = tempfile.mkdtemp(prefix="gom_stream_topk_")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(rows, preserve_index=False),
+        os.path.join(tmp, "a.parquet"),
+    )
+    from ..streaming.stateful import TOPK_IN_SCHEMA, stream_cell_topk
+
+    stream = spark.readStream.schema(TOPK_IN_SCHEMA).parquet(tmp)
+    name = f"stopk_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_cell_topk(stream, k=5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1018,6 +1128,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "knn_window": q_knn_window,
     "tumbling_window": q_tumbling_window,
+    "stream_dedup": q_stream_dedup,
+    "stream_cell_topk": q_stream_cell_topk,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -1071,6 +1183,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -1103,6 +1216,14 @@ _KNN_COLS = ["bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"]
 
 ORACLE_SQL.update(
     {
+        "stream_cell_topk": (
+            "SELECT cell_id, CAST(rank AS INTEGER) AS rank, obj_id, score "
+            "FROM (SELECT cell_id, source || ':' || obj_id AS obj_id, "
+            "lat AS score, row_number() OVER (PARTITION BY cell_id "
+            "ORDER BY lat DESC, source || ':' || obj_id ASC) AS rank "
+            f"FROM read_parquet('{_EXPECTED}/geo_extract.parquet') "
+            "WHERE _n_li = (SELECT count(*) FROM lineitem)) WHERE rank <= 5"
+        ),
         "geo_extract": _expected_sql(
             "geo_extract",
             ["obj_id", "source", "url", "n_surfaces", "lat", "lon", "cell_id"],
