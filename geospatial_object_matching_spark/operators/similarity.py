@@ -149,3 +149,158 @@ def embedding_near_dup_pairs(
         F.col("cosine") >= threshold
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# IVF (coarse-quantizer) ANN — the k-means analog of the LSH scale path
+# --------------------------------------------------------------------------
+
+
+def ivf_kmeans_centroids(
+    X: np.ndarray,
+    n_centroids: int,
+    n_iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer — the IVF SPEC
+    shared with the test oracle (tools/gen_expected.py reimplements it
+    from this docstring, like the LSH plane spec):
+
+    - rows of ``X`` are L2-normalized first (zero rows stay zero);
+    - init: ``Generator(PCG64(seed)).choice(len(X), n_centroids,
+      replace=False)`` row indices;
+    - ``n_iters`` Lloyd rounds: assign = argmax dot (first max wins),
+      centroid = mean of assigned rows re-normalized (empty cluster keeps
+      its previous centroid), then ROUNDED to 9 decimals — the rounding is
+      part of the spec so independent reimplementations cannot drift by
+      ulps across iterations.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.where(nrm > 0, X / np.where(nrm == 0, 1.0, nrm), 0.0)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+    C = np.round(X[idx].copy(), 9)
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                vn = np.linalg.norm(v)
+                if vn > 0:
+                    C[c] = v / vn
+        C = np.round(C, 9)
+    return C
+
+
+def _centroid_dot(vec, centroid: np.ndarray):
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid id as a pure JVM expression: argmax over the
+    per-centroid dot products (first max wins, matching np.argmax).
+    Centroids are unit vectors, so argmax dot == argmax cosine — no
+    normalization of the row vector needed."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[_centroid_dot(v, c) for c in centroids])
+    return embeddings.withColumn(
+        out_col, (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+
+def ivf_probes(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``n_probe`` centroid ids per query (dot desc, cid asc on ties)
+    as JVM expressions: structs of (-dot, cid) array-sorted ascending,
+    sliced, exploded."""
+    v = F.col(vec_col).cast("array<double>")
+    arr = F.array(
+        *[
+            F.struct(
+                (-_centroid_dot(v, c)).alias("nd"), F.lit(i).alias("c")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(arr), 1, n_probe)
+    return queries.withColumn("_p", F.explode(probes)).withColumn(
+        "cid", F.col("_p.c").cast("int")
+    ).drop("_p")
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 8,
+    seed: int = 7,
+    train_cap: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k by cosine: a driver-fit coarse quantizer
+    (BOUNDED deterministic sample: first ``train_cap`` rows by id) buckets
+    the index by nearest centroid; each query probes its ``n_probe``
+    nearest centroids and ranks only those buckets' rows.
+
+    The scale shape: comparisons drop from |Q|·|B| (cross join) to
+    ~|Q|·n_probe·|B|/n_centroids through ONE equi-join on cid — same
+    join plan as the LSH path, but with data-adaptive buckets (k-means
+    balances occupancy where hyperplanes cannot). All per-row math is
+    JVM expressions (centroid literals); the only Python is the
+    driver-side k-means on a capped sample."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    C = ivf_kmeans_centroids(
+        np.array([r[1] for r in sample], dtype=np.float64),
+        n_centroids,
+        n_iters=n_iters,
+        seed=seed,
+    )
+    base = ivf_assign(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("bv"),
+        ),
+        C,
+        vec_col="bv",
+    )
+    q = ivf_probes(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        C,
+        n_probe,
+        vec_col="qv",
+    )
+    # each index vector lives in exactly one cid and probe cids are
+    # distinct, so a (query, vec) pair appears at most once — no dedup
+    pairs = q.join(base, "cid").filter(F.col("query_id") != F.col("vec_id"))
+    cos = _dot("qv", "bv") / (_norm("qv") * _norm("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -719,6 +719,19 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer) approximate NN — the data-adaptive
+    sibling of lsh_topk. The expected-parquet oracle recomputes the
+    quantizer from the documented spec; DuckDB then executes the
+    probe-x-bucket join / cosine / top-k itself."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = SIM.ivf_cosine_topk(e, q, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", "rank", _fround(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 # ==========================================================================
 # geospatial pipeline (synthetic pages; rows-only oracles — the exact-
 # parity gate for these lives in tests/ against the numpy oracle)
@@ -1141,6 +1154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "geo_extract": q_geo_extract,
     "geo_properties": q_geo_properties,
     "geo_blocking_pairs": q_geo_blocking_pairs,
@@ -1216,6 +1230,26 @@ _KNN_COLS = ["bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"]
 
 ORACLE_SQL.update(
     {
+        "ivf_topk": (
+            "WITH iv AS (SELECT * FROM read_parquet('"
+            f"{_EXPECTED}/ivf_buckets.parquet') "
+            "WHERE _n_li = (SELECT count(*) FROM lineitem)), "
+            "a AS (SELECT id AS vec_id, cid FROM iv WHERE kind='assign'), "
+            "p AS (SELECT id AS query_id, cid FROM iv WHERE kind='probe'), "
+            "pr AS (SELECT p.query_id, a.vec_id, "
+            " list_dot_product(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]) / "
+            " (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) * "
+            "  sqrt(list_dot_product(be.embedding::DOUBLE[], be.embedding::DOUBLE[]))) AS cosine "
+            " FROM p JOIN a USING (cid) "
+            " JOIN embeddings qe ON qe.vec_id = p.query_id "
+            " JOIN embeddings be ON be.vec_id = a.vec_id "
+            " WHERE p.query_id <> a.vec_id) "
+            "SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, "
+            "floor(cosine * 1e6 + 0.5) / 1e6 AS cosine FROM ("
+            " SELECT query_id, vec_id, cosine, row_number() OVER ("
+            "  PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank "
+            " FROM pr) WHERE rank <= 5"
+        ),
         "stream_cell_topk": (
             "SELECT cell_id, CAST(rank AS INTEGER) AS rank, obj_id, score "
             "FROM (SELECT cell_id, source || ':' || obj_id AS obj_id, "

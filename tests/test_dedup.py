@@ -163,3 +163,58 @@ class TestCosine:
                 if a % 4 == b % 4 and (v[a] @ v[b]) / (norms[a] * norms[b]) >= 0.3:
                     expected.add((a, b))
         assert set(map(tuple, out[["id_a", "id_b"]].values)) == expected
+
+    def test_ivf_structure_recall_and_determinism(self, emb):
+        """IVF ANN (round 3): ranks contiguous, no self matches, cosine
+        descending; every returned neighbor shares a probed centroid with
+        the query; recall@4 vs brute force is well above the 1-bucket
+        floor; two runs are identical (driver k-means is seeded)."""
+        df, vecs = emb
+        out = SIM.ivf_cosine_topk(
+            df, df.filter(F.col("vec_id") < 8), k=4, n_centroids=8, n_probe=3
+        ).toPandas()
+        out2 = SIM.ivf_cosine_topk(
+            df, df.filter(F.col("vec_id") < 8), k=4, n_centroids=8, n_probe=3
+        ).toPandas()
+        key = ["query_id", "vec_id", "rank"]
+        assert out.sort_values(key).reset_index(drop=True).equals(
+            out2.sort_values(key).reset_index(drop=True)
+        )
+        v = vecs.astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        hits = total = 0
+        for q, grp in out.groupby("query_id"):
+            grp = grp.sort_values("rank")
+            assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+            assert (grp["vec_id"] != q).all()
+            assert (np.diff(grp["cosine"].to_numpy()) <= 1e-12).all()
+            cos = (v @ v[q]) / (norms * norms[q])
+            cos[q] = -np.inf
+            brute = set(sorted(range(80), key=lambda j: (-cos[j], j))[:4])
+            hits += len(brute & set(grp["vec_id"]))
+            total += 4
+        assert hits / total >= 0.5, f"IVF recall@4 too low: {hits}/{total}"
+
+    def test_ivf_assignment_matches_spec_oracle(self, emb):
+        """Engine JVM argmax-dot assignment == independent numpy spec
+        reimplementation (the gen_expected tier contract)."""
+        df, vecs = emb
+        from geospatial_object_matching_spark.operators.similarity import (
+            ivf_assign,
+            ivf_kmeans_centroids,
+        )
+
+        C = ivf_kmeans_centroids(vecs.astype(np.float64), 8, n_iters=5, seed=7)
+        got = (
+            ivf_assign(
+                df.select("vec_id", F.col("embedding").cast("array<double>").alias("bv")),
+                C,
+                vec_col="bv",
+            )
+            .select("vec_id", "cid")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        v = vecs.astype(np.float64)
+        want = [int(np.argmax([np.dot(x, c) for c in C])) for x in v]
+        assert got["cid"].tolist() == want

@@ -59,6 +59,7 @@ TIER = {
     "minhash_sigs": "independent",
     "simhash_sigs": "independent",
     "lsh_buckets": "independent",
+    "ivf_buckets": "independent",
     "media_features": "independent",
     "geo_properties": "independent",
     "geo_blocking_pairs": "independent",
@@ -353,6 +354,50 @@ def expected_lsh_buckets(sf_dir: str, n_planes: int = 6, seed: int = 7):
     )
 
 
+def expected_ivf_buckets(sf_dir: str, n_centroids: int = 16, n_probe: int = 4,
+                         n_iters: int = 8, seed: int = 7,
+                         n_queries: int = 20) -> pd.DataFrame:
+    """IVF coarse-quantizer assignments + query probes, recomputed from the
+    documented spec (operators/similarity.py::ivf_kmeans_centroids
+    docstring) in independent code: normalize -> PCG64(seed).choice init ->
+    Lloyd rounds with argmax-dot assignment, renormalized means, and
+    9-decimal centroid rounding each round (the rounding makes independent
+    reimplementations ulp-stable).  One frame, kind in {assign, probe}."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    X = np.array(list(emb["embedding"]), dtype=np.float64)[order]
+    ids = ids[order]
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.where(nrm > 0, X / np.where(nrm == 0, 1.0, nrm), 0.0)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    init = rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)
+    C = np.round(Xn[init].copy(), 9)
+    for _ in range(n_iters):
+        assign = np.array([int(np.argmax([np.dot(v, c) for c in C])) for v in Xn])
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                vn = np.linalg.norm(v)
+                if vn > 0:
+                    C[c] = v / vn
+        C = np.round(C, 9)
+    # final assignment on RAW vectors (argmax dot; centroids are unit)
+    rows = []
+    for i, v in zip(ids, X):
+        dots = [np.dot(v, c) for c in C]
+        rows.append({"kind": "assign", "id": int(i), "cid": int(np.argmax(dots))})
+    for i, v in zip(ids, X):
+        if i >= n_queries:
+            continue
+        dots = np.array([np.dot(v, c) for c in C])
+        top = sorted(range(len(C)), key=lambda t: (-dots[t], t))[:n_probe]
+        for c in top:
+            rows.append({"kind": "probe", "id": int(i), "cid": int(c)})
+    return pd.DataFrame(rows).astype({"id": "int64", "cid": "int32"})
+
+
 # --------------------------------------------------------------------------
 # promoted independent oracles (round 3): properties, blocking pairs, match
 # decisions, pair features, threshold sweep, transform — recomputed from the
@@ -641,6 +686,9 @@ def main() -> None:
         acc.setdefault("simhash_sigs", []).append(tag(sim_sigs))
         acc.setdefault("lsh_buckets", []).append(
             tag(expected_lsh_buckets(sf_dir))
+        )
+        acc.setdefault("ivf_buckets", []).append(
+            tag(expected_ivf_buckets(sf_dir))
         )
 
     for name, frames in golden_outputs(sf_dirs).items():
