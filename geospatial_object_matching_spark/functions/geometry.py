@@ -519,10 +519,16 @@ def compute_properties_object(
     out["density"] = area / perimeter
 
     # eigen features: sample covariance of unique vertices
-    # (object_properties.py:265-282); eigh ascending
-    cov = np.cov(verts, rowvar=False)
-    eigenvalues, eigenvectors = np.linalg.eigh(cov)
-    out["elongation"] = float(np.sqrt(eigenvalues.max() / eigenvalues.min()))
+    # (object_properties.py:265-282); eigh ascending.  Degenerate meshes
+    # (<2 unique vertices — cov undefined) define nan instead of crashing:
+    # one bad document must never kill a whole Arrow batch.
+    if len(verts) >= 2:
+        cov = np.cov(verts, rowvar=False)
+        eigenvalues, eigenvectors = np.linalg.eigh(cov)
+        out["elongation"] = float(np.sqrt(eigenvalues.max() / eigenvalues.min()))
+    else:
+        eigenvectors = None
+        out["elongation"] = float("nan")
 
     out["shape_ind"] = perimeter / math.sqrt(4.0 * math.pi * area)
     out["hemisphericality"] = (
@@ -540,11 +546,16 @@ def compute_properties_object(
     )
 
     # PCA-aligned bbox (object_properties.py:80-98)
-    aligned = verts @ eigenvectors
-    ext = aligned.max(axis=0) - aligned.min(axis=0)
-    out["aligned_bounding_box_width"] = float(ext[0])
-    out["aligned_bounding_box_length"] = float(ext[1])
-    out["aligned_bounding_box_height"] = float(ext[2])
+    if eigenvectors is not None:
+        aligned = verts @ eigenvectors
+        ext = aligned.max(axis=0) - aligned.min(axis=0)
+        out["aligned_bounding_box_width"] = float(ext[0])
+        out["aligned_bounding_box_length"] = float(ext[1])
+        out["aligned_bounding_box_height"] = float(ext[2])
+    else:
+        out["aligned_bounding_box_width"] = float("nan")
+        out["aligned_bounding_box_length"] = float("nan")
+        out["aligned_bounding_box_height"] = float("nan")
 
     out["num_vertices"] = float(len(verts))
 
@@ -760,8 +771,17 @@ def _properties_chunk(
                 )
                 C[:, i, j] = cij
                 C[:, j, i] = cij
-        eigenvalues, eigenvectors = np.linalg.eigh(C)
-        out["elongation"] = np.sqrt(eigenvalues[:, -1] / eigenvalues[:, 0])
+        # degenerate meshes (<2 unique verts: cov undefined) define nan —
+        # eigh must not see them (LAPACK raises on nan matrices and one bad
+        # document must never kill a whole Arrow batch)
+        valid_eig = np.isfinite(C).all(axis=(1, 2))
+        eigenvectors = np.zeros((n, 3, 3), dtype=np.float64)
+        elong = np.full(n, np.nan)
+        if valid_eig.any():
+            ev, evec = np.linalg.eigh(C[valid_eig])
+            eigenvectors[valid_eig] = evec
+            elong[valid_eig] = np.sqrt(ev[:, -1] / ev[:, 0])
+        out["elongation"] = elong
 
         # PCA-aligned bbox (object_properties.py:80-98)
         aligned = np.einsum("pi,pij->pj", verts, eigenvectors[vobj])
@@ -770,6 +790,7 @@ def _properties_chunk(
             ext[:, i] = np.maximum.reduceat(
                 aligned[:, i], vstart[:-1]
             ) - np.minimum.reduceat(aligned[:, i], vstart[:-1])
+        ext[~valid_eig] = np.nan
         out["aligned_bounding_box_width"] = ext[:, 0]
         out["aligned_bounding_box_length"] = ext[:, 1]
         out["aligned_bounding_box_height"] = ext[:, 2]

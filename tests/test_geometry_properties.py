@@ -159,3 +159,44 @@ def test_pip_convex_square_membership(px, py):
     poly = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
     assert points_in_polygon(np.array([px]), np.array([py]), poly)[0]
     assert not points_in_polygon(np.array([px + 10]), np.array([py]), poly)[0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(-50, 50, allow_nan=False),
+                st.floats(-50, 50, allow_nan=False),
+                st.floats(0, 20, allow_nan=False),
+            ),
+            min_size=3,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 4),
+)
+def test_batch_kernel_equals_object_kernel_on_random_meshes(surfaces, n_objs):
+    """compute_properties_batch ≡ compute_properties_object on arbitrary
+    random meshes (not just the building fixture) — the batch segment
+    reductions must not depend on any fixture regularity (equal-size
+    surfaces, closedness, z-ring structure)."""
+    coords = np.concatenate(
+        [np.asarray(s, dtype=np.float64).ravel() for s in surfaces]
+    )
+    offsets = np.cumsum([0] + [len(s) for s in surfaces]).astype(np.int64)
+    cl = [coords] * n_objs
+    ol = [offsets] * n_objs
+    batch = G.compute_properties_batch(cl, ol, log1p=True)
+    ref = G.compute_properties_object(coords, offsets, log1p=True)
+    for k, v in ref.items():
+        for i in range(n_objs):
+            bv = float(batch[k][i])
+            if np.isnan(v):
+                assert np.isnan(bv), k
+            elif np.isinf(v):
+                assert bv == v, k
+            else:
+                assert abs(bv - v) <= 1e-9 * max(1.0, abs(v)), (k, v, bv)
