@@ -108,7 +108,10 @@ def main() -> None:
         "percentile_agg",
         "dedup_exact",
         "minhash_dedup",
-        "cosine_topk",
+        # ANN headline is the bucketed IVF path (data-adaptive cells, one
+        # cid equi-join); the exact crossJoin cosine_topk stays an
+        # oracle/test-only reference — never a bench-headline plan.
+        "ivf_topk",
         "text_quality",
         "tumbling_window",
     ):

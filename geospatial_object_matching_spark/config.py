@@ -72,8 +72,14 @@ class EngineConf:
     expressed the way a 1000-executor job would set them."""
 
     shuffle_partitions: int = 32
-    #: rows below which the kNN index side is broadcast instead of grid-joined
-    broadcast_index_max_rows: int = 2_000_000
+    #: rows below which the kNN index side is broadcast; above it the
+    #: range-sliced strategy dispatches (round-4 measurement: range beats
+    #: broadcast 3× already at 500k rows — the driver collect dominates —
+    #: and broadcast's whole-index-per-task memory story dies long before
+    #: range's per-slice one, so the threshold sits where broadcast's
+    #: zero-shuffle advantage still wins: small dimension-table-sized
+    #: indexes like the flagship's 48k entities)
+    broadcast_index_max_rows: int = 200_000
     #: grid cell width multiplier (in units of estimated kth-NN distance)
     knn_grid_cell_scale: float = 4.0
     #: max neighbor-ring expansion rounds before falling back to brute force

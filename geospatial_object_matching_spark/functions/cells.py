@@ -177,17 +177,24 @@ def clip_polygon_to_box(poly: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
 
 def polygon_area_2d(poly: np.ndarray) -> float:
     """Shoelace area (absolute)."""
-    if len(poly) < 3:
-        return 0.0
-    x, y = poly[:, 0], poly[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+    return abs(polygon_area_signed(poly))
 
 
 def polygon_area_signed(poly: np.ndarray) -> float:
-    """Signed shoelace area (CCW positive)."""
+    """Signed shoelace area (CCW positive).
+
+    The ring is translated to its first vertex before the shoelace:
+    at absolute coordinates far from the origin (lon/lat ~50°) a tiny
+    clipped sliver's area is ~12 decimal digits below the x·y products,
+    so the untranslated sum is pure cancellation noise whose value
+    depends on summation order (np.dot vs a scalar loop diverged at
+    1e-4 *relative*). Local coordinates make the products the same
+    magnitude as the area; any evaluation order then agrees to ~1e-16
+    relative — the property the independent tile oracle relies on."""
     if len(poly) < 3:
         return 0.0
-    x, y = poly[:, 0], poly[:, 1]
+    x = poly[:, 0] - poly[0, 0]
+    y = poly[:, 1] - poly[0, 1]
     return float((np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
 
 
@@ -212,11 +219,24 @@ def clipped_area_exact(poly: np.ndarray, xmin, ymin, xmax, ymax) -> float:
     return abs(total)
 
 
+COVERAGE_EPS = 1e-12  # sliver-emission contract, see rasterize_footprint
+
+
 def rasterize_footprint(poly_lonlat: np.ndarray, zoom: int):
     """Vector→raster: all tiles a footprint touches plus exact coverage
     fraction (clipped-area / tile-area). Returns list of
     (tile_x, tile_y, coverage). Exact for any simple ring (convex or
-    concave) via signed fan-triangle clipping."""
+    concave) via signed fan-triangle clipping.
+
+    Emission contract: a tile is emitted iff coverage > ``COVERAGE_EPS``
+    (1e-12). Geometry that lies exactly on a tile boundary produces
+    clipped areas of 0 ± a few ulps whose sign differs between equally
+    valid float evaluation orders; a bare ``> 0`` cutoff therefore makes
+    the emitted tile SET implementation-dependent. 1e-12 is orders above
+    that noise floor and orders below any physical footprint sliver
+    (at z18 it is a sub-micron² patch), so the set is stable across the
+    engine kernel and the independent scalar oracle
+    (tools/gen_expected.py::rasterize_footprint_s)."""
     poly = np.asarray(poly_lonlat, dtype=np.float64).reshape(-1, 2)
     xs, ys = lonlat_to_tile(poly[:, 0], poly[:, 1], zoom)
     out = []
@@ -226,7 +246,7 @@ def rasterize_footprint(poly_lonlat: np.ndarray, zoom: int):
             cov_area = clipped_area_exact(poly, lon_min, lat_min, lon_max, lat_max)
             tile_area = (lon_max - lon_min) * (lat_max - lat_min)
             cov = cov_area / tile_area if tile_area > 0 else 0.0
-            if cov > 0.0:
+            if cov > COVERAGE_EPS:
                 out.append((tx, ty, float(cov)))
     return out
 

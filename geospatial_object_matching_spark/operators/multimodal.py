@@ -2,11 +2,14 @@
 
 Media rides as opaque ``binary`` columns with typed metadata structs; the
 Spark-side machinery — schema, partition sizing, Arrow batch shape,
-``mapInPandas`` kernel signatures — is real and tested. The actual codec
-calls are STUBBED (no image/audio libraries in this container): decode
-raises ``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic byte-histogram "feature" so the distributed plumbing can be
-exercised end-to-end.
+``mapInPandas`` kernel signatures — is real and tested. Decode is REAL
+(pure numpy) for the uncompressed containers: BMP (BI_RGB 24/32-bit) and
+binary PPM (P6), feeding an integer-exact 64-dim pixel-feature kernel
+that the planted-image oracle recomputes independently
+(sources/media.py fixture, ``image_features`` driver query). Compressed
+formats (PNG/JPEG/video/audio) still raise ``NotImplementedError`` — no
+codec library exists in this container; ``fake=True`` keeps the
+deterministic byte-histogram stand-in for arbitrary blobs.
 
 At 100 TB the rules encoded here: media bytes never enter a shuffle (all
 feature extraction happens scan-side in one mapInPandas pass before any
@@ -45,12 +48,108 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(blob: bytes):
-    """Real decode hook — wire PIL/opencv here when available."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; call with fake=True for the deterministic stand-in"
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP → (h, w, 3) uint8 RGB.
+    Pure numpy (no imaging library): header fields per the public
+    BITMAPINFOHEADER layout; rows are 4-byte padded, bottom-up unless
+    height is negative; channel order on disk is BGR(A)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={comp} bpp={bpp}: only uncompressed 24/32-bit "
+            "BI_RGB decodes without an imaging library"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) // 4 * 4
+    need = off + row_bytes * h
+    if w <= 0 or len(b) < need:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(b, np.uint8, count=row_bytes * h, offset=off)
+    px = arr.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    img = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (h, w, 3) uint8 RGB. Header is
+    whitespace-separated tokens with '#' comments, per the netpbm spec."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = w * h * 3
+    if len(b) - pos < need:
+        raise ValueError("truncated PPM pixel array")
+    return (
+        np.frombuffer(b, np.uint8, count=need, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
     )
+
+
+def _decode_image(blob: bytes) -> np.ndarray:
+    """blob → (h, w, 3) uint8 RGB. Real pure-numpy decode for the
+    uncompressed containers (BMP BI_RGB, binary PPM); compressed formats
+    (PNG/JPEG/…) still raise — no codec library exists in this
+    environment (the reference's image path, utils.py:134-163, renders
+    via matplotlib/PIL)."""
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    raise NotImplementedError(
+        "only uncompressed BMP/PPM decode without an imaging library; "
+        "got magic " + repr(bytes(blob[:2]))
+    )
+
+
+def _pixel_features(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → 64-dim feature vector, all values derived from
+    exact integer accumulations so independent implementations agree
+    bit-for-bit: 16-bin histogram per channel normalized by pixel count
+    (48), per-channel mean (3), per-channel min+max (6), grayscale mean
+    with gray = r+g+b (1), width, height, aspect (3), zero padding (3)."""
+    h, w, _ = img.shape
+    n = h * w
+    out = np.zeros(FEATURE_DIM, dtype=np.float64)
+    flat = img.reshape(n, 3)
+    for c in range(3):
+        hist = np.bincount(flat[:, c] >> 4, minlength=16)
+        out[16 * c : 16 * c + 16] = hist / n
+    sums = flat.sum(axis=0, dtype=np.int64)
+    out[48:51] = sums / n
+    out[51:54] = flat.min(axis=0)
+    out[54:57] = flat.max(axis=0)
+    out[57] = int(sums.sum()) / (3 * n)
+    out[58] = w
+    out[59] = h
+    out[60] = w / h
+    return out
 
 
 def _fake_features(blob: bytes) -> np.ndarray:
@@ -82,7 +181,9 @@ def extract_media_features(
                 for mid, blob in zip(chunk[id_col], chunk[blob_col]):
                     blob = bytes(blob or b"")
                     feats.append(
-                        _fake_features(blob) if fake else _decode_image(blob)
+                        _fake_features(blob)
+                        if fake
+                        else _pixel_features(_decode_image(blob))
                     )
                     ids.append(mid)
                     nbytes.append(len(blob))

@@ -245,6 +245,56 @@ class TestBlocking:
         )
         np.testing.assert_allclose(b["dist"], e["dist"], atol=1e-9)
 
+    def test_range_strategy_equals_broadcast(self, properties):
+        from geospatial_object_matching_spark.operators.knn import knn_join_range
+
+        order = bkafi_feature_order(properties)
+        cands, index = bkafi_vectors(properties, order[:3])
+        cands, index = cands.persist(), index.persist()
+        b = knn_join_broadcast(cands, index, 10).toPandas()
+        r = knn_join_range(cands, index, 10, slice_rows=16).toPandas()
+        key = ["cand_id", "rank"]
+        b = b.sort_values(key).reset_index(drop=True)
+        r = r.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["cand_id", "index_id", "rank"]], r[["cand_id", "index_id", "rank"]]
+        )
+        np.testing.assert_allclose(b["dist"], r["dist"], atol=1e-9)
+
+    def test_range_tiny_slices_equals_broadcast(self, spark):
+        """Slices far smaller than k force found<k in round 1 → unbounded
+        expansion; duplicate dim-0 values straddle slice boundaries; ties
+        broken by (dist, index_id) everywhere. Must still be exact."""
+        import pyspark.sql.functions as F
+        from geospatial_object_matching_spark.operators.knn import knn_join_range
+
+        n_i, n_c = 400, 60
+        idx = spark.range(n_i).select(
+            F.concat(F.lit("i"), F.col("id")).alias("obj_id"),
+            F.array(
+                (F.col("id") % 20).cast("double") * 0.1,  # heavy dim-0 dups
+                F.sin(F.col("id").cast("double")),
+                F.cos(F.col("id").cast("double") * 0.7),
+            ).alias("features"),
+        )
+        cand = spark.range(n_c).select(
+            F.concat(F.lit("c"), F.col("id")).alias("obj_id"),
+            F.array(
+                (F.col("id") % 20).cast("double") * 0.1,
+                F.sin(F.col("id").cast("double") * 1.3),
+                F.cos(F.col("id").cast("double")),
+            ).alias("features"),
+        )
+        b = knn_join_broadcast(cand, idx, 25).toPandas()
+        r = knn_join_range(cand, idx, 25, slice_rows=8).toPandas()
+        key = ["cand_id", "rank"]
+        b = b.sort_values(key).reset_index(drop=True)
+        r = r.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["cand_id", "index_id", "rank"]], r[["cand_id", "index_id", "rank"]]
+        )
+        np.testing.assert_allclose(b["dist"], r["dist"], atol=1e-9)
+
     def test_equidepth_many_bins_equals_broadcast(self, spark):
         """One bin per index row (n_bins == n_index): exercises the
         runtime-sequence shell + broadcast-boundary gap udf (round-2

@@ -184,10 +184,87 @@ class TestMultimodal:
         )
         assert set(out["n_bytes"]) == {100 + i for i in range(50)}
 
-    def test_real_decode_is_stubbed(self, spark):
-        df = spark.createDataFrame([("m", b"xx")], "media_id string, blob binary")
+    def test_compressed_decode_still_stubbed(self, spark):
+        """PNG magic (no codec library in env) must raise, not fake."""
+        df = spark.createDataFrame(
+            [("m", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)],
+            "media_id string, blob binary",
+        )
         with pytest.raises(Exception):
             extract_media_features(df, fake=False).collect()
+
+    def test_decode_roundtrip_bmp_ppm(self):
+        """Pure-numpy decode inverts the fixture encoders exactly, incl.
+        BMP 4-byte row padding (widths chosen so w*3 % 4 ≠ 0)."""
+        from geospatial_object_matching_spark.operators.multimodal import (
+            _decode_image,
+        )
+        from geospatial_object_matching_spark.sources.media import (
+            encode_bmp,
+            encode_ppm,
+            planted_pixels,
+        )
+
+        for i in range(20):
+            img = planted_pixels(5, f"img{i:05d}")
+            np.testing.assert_array_equal(_decode_image(encode_bmp(img)), img)
+            np.testing.assert_array_equal(_decode_image(encode_ppm(img)), img)
+
+    def test_planted_image_oracle_parity_and_flip(self, spark):
+        """The image_features query output must equal the independent
+        pixels-from-spec oracle exactly, and a corrupted pixel byte (a
+        simulated decoder regression) must be caught."""
+        import importlib
+        import os as _os
+        import sys as _sys
+
+        tools_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(__file__)), "tools"
+        )
+        _sys.path.insert(0, tools_dir)
+        try:
+            gen = importlib.import_module("gen_expected")
+        finally:
+            _sys.path.remove(tools_dir)
+        from geospatial_object_matching_spark.operators.multimodal import (
+            _decode_image,
+            _pixel_features,
+        )
+        from geospatial_object_matching_spark.sources.media import (
+            generate_media_pdf,
+        )
+
+        n = 30
+        expected = gen.expected_image_features(n, seed=5)
+        media = generate_media_pdf(n, seed=5)
+        got_rows = []
+        for mid, blob in zip(media["media_id"], media["blob"]):
+            img = _decode_image(bytes(blob))
+            for bi, v in enumerate(_pixel_features(img)):
+                got_rows.append(
+                    (mid, len(blob), bi, np.floor(v * 1e6 + 0.5) / 1e6)
+                )
+        exp_rows = [
+            (r.media_id, r.n_bytes, int(r.bin), r.value)
+            for r in expected.itertuples(index=False)
+        ]
+        assert sorted(got_rows) == sorted(exp_rows)
+
+        # flip: corrupt one pixel byte in each blob (the padding bytes
+        # would be invisible — pick a real pixel) → at least one mismatch
+        diffs = 0
+        for mid, blob in zip(media["media_id"], media["blob"]):
+            raw = bytearray(blob)
+            raw[-1] ^= 0x40  # last byte of the pixel array in both formats
+            img = _decode_image(bytes(raw))
+            for bi, v in enumerate(_pixel_features(img)):
+                got = np.floor(v * 1e6 + 0.5) / 1e6
+                exp = expected[
+                    (expected.media_id == mid) & (expected.bin == bi)
+                ]["value"].iloc[0]
+                if got != exp:
+                    diffs += 1
+        assert diffs > 0, "oracle missed a corrupted-pixel decode"
 
     def test_frame_sample_plan(self, spark):
         df = spark.createDataFrame([("v1", b"")], "media_id string, blob binary")

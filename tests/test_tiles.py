@@ -153,3 +153,67 @@ class TestTileOperators:
         self_pairs = set(res[res["point_id"] == res["obj_id"]]["point_id"])
         all_ids = set(r[0] for r in cands.select("obj_id").collect())
         assert self_pairs == all_ids
+
+
+def _gen_expected():
+    import importlib
+    import os
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    sys.path.insert(0, tools_dir)
+    try:
+        return importlib.import_module("gen_expected")
+    finally:
+        sys.path.remove(tools_dir)
+
+
+class TestIndependentTileOracle:
+    """Round-4 promotion: geo_tiles is independent-tier — the scalar spec
+    rasterizer (tools/gen_expected.py::rasterize_footprint_s) must agree
+    with the engine kernel after round(6) on real fixture rings, and must
+    CATCH a simulated kernel regression (the TestRound3Exactness
+    pattern)."""
+
+    @pytest.fixture(scope="class")
+    def rings(self):
+        from oracle import reference_oracle as O
+        from geospatial_object_matching_spark.sources.pages import (
+            generate_pages_pdf,
+        )
+
+        gen = _gen_expected()
+        pdf = generate_pages_pdf(12, seed=42)
+        objs = O.object_dicts_from_pages(pdf)
+        out = []
+        for oid in objs["cands"]:
+            ring = gen.ground_ring_lonlat(objs["cands"][oid]["mesh"])
+            if ring is not None:
+                out.append((oid, ring))
+        assert len(out) >= 8
+        return out
+
+    def _tileset(self, raster):
+        return {(tx, ty): round(cov, 6) for tx, ty, cov in raster}
+
+    def test_oracle_parity_on_fixture_rings(self, rings):
+        gen = _gen_expected()
+        for oid, ring in rings:
+            eng = self._tileset(rasterize_footprint(np.asarray(ring), 18))
+            orc = self._tileset(gen.rasterize_footprint_s(ring.tolist(), 18))
+            assert eng == orc, oid
+
+    def test_oracle_catches_rasterizer_bug(self, rings):
+        """A 0.1% coverage scaling (simulated area-kernel regression) must
+        produce at least one post-round(6) disagreement."""
+        gen = _gen_expected()
+        diffs = 0
+        for oid, ring in rings:
+            eng = {
+                (tx, ty): round(cov * 1.001, 6)
+                for tx, ty, cov in rasterize_footprint(np.asarray(ring), 18)
+            }
+            orc = self._tileset(gen.rasterize_footprint_s(ring.tolist(), 18))
+            if eng != orc:
+                diffs += 1
+        assert diffs > 0, "independent tile oracle missed a 0.1% area bug"

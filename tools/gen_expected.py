@@ -61,19 +61,19 @@ TIER = {
     "lsh_buckets": "independent",
     "ivf_buckets": "independent",
     "media_features": "independent",
+    "image_features": "independent",
     "geo_properties": "independent",
     "geo_blocking_pairs": "independent",
     "geo_match_decisions": "independent",
     "geo_pair_features": "independent",
     "geo_threshold_sweep": "independent",
     "geo_transform": "independent",
-    # still golden: learned-model outputs (blocking_fi, matching_quality),
-    # the rasterizer coverage fractions (tiles), and the engine-seeded
-    # sampling RNG (partitions) — their independent signal lives in pytest
+    "geo_tiles": "independent",
+    "geo_partitions": "independent",
+    # still golden: learned-model outputs only (blocking_fi,
+    # matching_quality) — their independent signal lives in pytest
     "geo_blocking_fi": "golden",
-    "geo_tiles": "golden",
     "geo_matching_quality": "golden",
-    "geo_partitions": "golden",
 }
 
 GOLDEN_QUERIES = sorted(k for k, v in TIER.items() if v == "golden")
@@ -164,6 +164,342 @@ def hash_params(n_hashes: int, seed: int):
 
 def to_i64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---- tile-rasterizer spec, reimplemented scalar-side ---------------------
+# Spec (functions/cells.py docstrings): web-mercator tile bounds; fan-
+# triangulate the footprint from v0; Sutherland–Hodgman-clip each triangle
+# against the tile box with side order xmin,xmax,ymin,ymax; sum SIGNED
+# shoelace areas; coverage = |sum| / tile area. Scalar tuples + left-to-
+# right accumulation throughout (no numpy, no engine imports).
+
+
+def _tile_bounds_s(x: int, y: int, zoom: int):
+    n = float(2**zoom)
+
+    def lat_of(yy):
+        return math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * yy / n))))
+
+    return (
+        x / n * 360.0 - 180.0,
+        lat_of(y + 1),
+        (x + 1) / n * 360.0 - 180.0,
+        lat_of(y),
+    )
+
+
+def _clip_side_s(poly, inside, intersect):
+    if not poly:
+        return []
+    out = []
+    prev = poly[-1]
+    prev_in = inside(prev)
+    for cur in poly:
+        cur_in = inside(cur)
+        if cur_in:
+            if not prev_in:
+                out.append(intersect(prev, cur))
+            out.append(cur)
+        elif prev_in:
+            out.append(intersect(prev, cur))
+        prev, prev_in = cur, cur_in
+    return out
+
+
+def _clip_box_s(poly, xmin, ymin, xmax, ymax):
+    def interp(a, b, t):
+        return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+
+    p = list(poly)
+    p = _clip_side_s(p, lambda q: q[0] >= xmin,
+                     lambda a, b: interp(a, b, (xmin - a[0]) / (b[0] - a[0])))
+    p = _clip_side_s(p, lambda q: q[0] <= xmax,
+                     lambda a, b: interp(a, b, (xmax - a[0]) / (b[0] - a[0])))
+    p = _clip_side_s(p, lambda q: q[1] >= ymin,
+                     lambda a, b: interp(a, b, (ymin - a[1]) / (b[1] - a[1])))
+    p = _clip_side_s(p, lambda q: q[1] <= ymax,
+                     lambda a, b: interp(a, b, (ymax - a[1]) / (b[1] - a[1])))
+    return p
+
+
+def _shoelace_signed_s(p) -> float:
+    # translated to p[0] first — the cancellation-stability contract of
+    # cells.py::polygon_area_signed (local coords make any summation
+    # order agree to ~1e-16 relative)
+    if len(p) < 3:
+        return 0.0
+    x0, y0 = p[0]
+    sx = 0.0
+    sy = 0.0
+    m = len(p)
+    for i in range(m):
+        j = (i + 1) % m
+        sx += (p[i][0] - x0) * (p[j][1] - y0)
+        sy += (p[i][1] - y0) * (p[j][0] - x0)
+    return (sx - sy) / 2.0
+
+
+def rasterize_footprint_s(ring, zoom: int):
+    """Scalar rasterizer: list of (tile_x, tile_y, coverage)."""
+    n = 1 << zoom
+    txs, tys = [], []
+    for lon, lat in ring:
+        latc = min(max(lat, -85.05112878), 85.05112878)
+        tx = int(math.floor((lon + 180.0) / 360.0 * n))
+        ty = int(
+            math.floor(
+                (1.0 - math.asinh(math.tan(math.radians(latc))) / math.pi)
+                / 2.0
+                * n
+            )
+        )
+        txs.append(min(max(tx, 0), n - 1))
+        tys.append(min(max(ty, 0), n - 1))
+    out = []
+    pts = [tuple(p) for p in ring]
+    for tx in range(min(txs), max(txs) + 1):
+        for ty in range(min(tys), max(tys) + 1):
+            lon_min, lat_min, lon_max, lat_max = _tile_bounds_s(tx, ty, zoom)
+            total = 0.0
+            v0 = pts[0]
+            for i in range(1, len(pts) - 1):
+                tri = [v0, pts[i], pts[i + 1]]
+                clipped = _clip_box_s(tri, lon_min, lat_min, lon_max, lat_max)
+                total += _shoelace_signed_s(clipped)
+            tile_area = (lon_max - lon_min) * (lat_max - lat_min)
+            cov = abs(total) / tile_area if tile_area > 0 else 0.0
+            if cov > 1e-12:  # COVERAGE_EPS sliver contract (cells.py)
+                out.append((tx, ty, cov))
+    return out
+
+
+# ---- Spark xxhash64, reimplemented from the public XXH64 spec ------------
+# (needed to recompute the engine's deterministic sampling draws; Spark
+# folds columns left-to-right with the running hash as the next seed,
+# starting from 42 — ints take the 4-byte path, longs 8-byte, strings the
+# full streaming hash over utf-8 bytes.)
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _xx_avalanche(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) & MASK64
+    h ^= h >> 29
+    h = (h * _XP3) & MASK64
+    h ^= h >> 32
+    return h
+
+
+def _xx_hash_int(v: int, seed: int) -> int:
+    h = (seed + _XP5 + 4) & MASK64
+    h ^= ((v & 0xFFFFFFFF) * _XP1) & MASK64
+    h = (_rotl64(h, 23) * _XP2 + _XP3) & MASK64
+    return _xx_avalanche(h)
+
+
+def _xx_hash_long(v: int, seed: int) -> int:
+    h = (seed + _XP5 + 8) & MASK64
+    k1 = (_rotl64((v & MASK64) * _XP2 & MASK64, 31) * _XP1) & MASK64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & MASK64
+    return _xx_avalanche(h)
+
+
+def _xx_hash_bytes(b: bytes, seed: int) -> int:
+    n = len(b)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _XP1 + _XP2) & MASK64
+        a2 = (seed + _XP2) & MASK64
+        a3 = seed & MASK64
+        a4 = (seed - _XP1) & MASK64
+        while i + 32 <= n:
+            for lane_i in range(4):
+                lane = int.from_bytes(b[i + 8 * lane_i : i + 8 * lane_i + 8], "little")
+                acc = (a1, a2, a3, a4)[lane_i]
+                acc = (_rotl64((acc + lane * _XP2) & MASK64, 31) * _XP1) & MASK64
+                if lane_i == 0:
+                    a1 = acc
+                elif lane_i == 1:
+                    a2 = acc
+                elif lane_i == 2:
+                    a3 = acc
+                else:
+                    a4 = acc
+            i += 32
+        h = (
+            _rotl64(a1, 1) + _rotl64(a2, 7) + _rotl64(a3, 12) + _rotl64(a4, 18)
+        ) & MASK64
+        for acc in (a1, a2, a3, a4):
+            k = (_rotl64((acc * _XP2) & MASK64, 31) * _XP1) & MASK64
+            h = ((h ^ k) * _XP1 + _XP4) & MASK64
+    else:
+        h = (seed + _XP5) & MASK64
+    h = (h + n) & MASK64
+    while i + 8 <= n:
+        lane = int.from_bytes(b[i : i + 8], "little")
+        k = (_rotl64((lane * _XP2) & MASK64, 31) * _XP1) & MASK64
+        h = (_rotl64(h ^ k, 27) * _XP1 + _XP4) & MASK64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(b[i : i + 4], "little")
+        h ^= (lane * _XP1) & MASK64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & MASK64
+        i += 4
+    while i < n:
+        h ^= (b[i] * _XP5) & MASK64
+        h = (_rotl64(h, 11) * _XP1) & MASK64
+        i += 1
+    return _xx_avalanche(h)
+
+
+def spark_xxhash64(values) -> int:
+    """Spark's multi-column xxhash64 as a signed int64; ``values`` is a
+    list of ('int'|'long'|'str', value) pairs."""
+    h = 42
+    for kind, v in values:
+        if kind == "int":
+            h = _xx_hash_int(v, h)
+        elif kind == "long":
+            h = _xx_hash_long(v, h)
+        else:
+            h = _xx_hash_bytes(str(v).encode("utf-8"), h)
+    return to_i64(h)
+
+
+# ---- deterministic-sampling spec, reimplemented scalar-side --------------
+
+
+def md5_sample(ids: list, fraction: float, seed: int) -> list:
+    """sample_ids_fraction spec: rank by md5('<seed>|<id>') hex, keep the
+    first floor(fraction·n)."""
+    import hashlib
+
+    n = len(ids)
+    take = int(fraction * n)
+    if take <= 0:
+        return []
+    ranked = sorted(
+        ids, key=lambda i: hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+    )
+    return ranked[:take]
+
+
+def negative_pairs_sim(cand_ids, index_ids, n_neg: int, seed: int):
+    """negative_sample_pairs spec: positives (c,c) + per-cand first n_neg
+    distinct non-self draws, draw j → xxhash64(seed:int, cand:str, j:int)
+    pmod |I| into the index sorted ascending."""
+    idx_sorted = sorted(index_ids)
+    n_index = len(idx_sorted)
+    pairs = [(c, c) for c in cand_ids]
+    for c in cand_ids:
+        seen = set()
+        got = 0
+        for j in range(2 * n_neg + 10):
+            h = spark_xxhash64([("int", seed), ("str", c), ("int", j)])
+            iid = idx_sorted[h % n_index]
+            if iid == c or iid in seen:
+                continue
+            seen.add(iid)
+            got += 1
+            pairs.append((c, iid))
+            if got == n_neg:
+                break
+    return pairs
+
+
+def partition_summary_sim(
+    cands,
+    index,
+    seed: int,
+    train_ratios: dict,
+    test_ratios: dict,
+    neg: tuple = (2,),
+    non_matched_rat: float = 0.2,
+) -> pd.DataFrame:
+    """Pure-python sim of create_dataset_partition → partition_summary
+    (plans/partitions.py spec: md5-rank sampling with the documented
+    per-stage salts, xxhash64 negative draws)."""
+    cands = sorted(cands)
+    index = sorted(index)
+    inter = sorted(set(cands) & set(index))
+    rows = []
+    train_ids = {}
+    for size, ratio in train_ratios.items():
+        train_ids[size] = md5_sample(inter, ratio, seed * 1000 + len(size))
+        for n in neg:
+            pairs = negative_pairs_sim(train_ids[size], index, n, seed)
+            rows.append(
+                ("train", size, f"neg{n}", len(pairs),
+                 sum(1 for a, b in pairs if a == b))
+            )
+    for size, ratio in test_ratios.items():
+        fallback = train_ids.get(size, train_ids[next(iter(train_ids))])
+        pool = [i for i in inter if i not in set(fallback)]
+        test_ids = md5_sample(pool, ratio, seed * 2000 + len(size))
+        for n in neg:
+            pairs = negative_pairs_sim(test_ids, index, n, seed + 1)
+            rows.append(
+                ("test_matching", size, f"neg{n}", len(pairs),
+                 sum(1 for a, b in pairs if a == b))
+            )
+        cands_test = md5_sample(pool, ratio, seed * 3000 + len(size))
+        removed = set(
+            md5_sample(cands_test, non_matched_rat, seed * 4000 + len(size))
+        )
+        index_kept = [i for i in index if i not in removed]
+        index_test = md5_sample(index_kept, ratio, seed * 5000 + len(size))
+        rows.append(("test_blocking", size, "cands", len(cands_test), 0))
+        rows.append(("test_blocking", size, "index", len(index_test), 0))
+    pdf = pd.DataFrame(
+        rows, columns=["split", "size", "key", "n_rows", "n_pos"]
+    ).astype({"n_rows": "int64", "n_pos": "int64"})
+    return pdf.sort_values(["split", "size", "key"]).reset_index(drop=True)
+
+
+def expected_geo_partitions(objs) -> pd.DataFrame:
+    """Independent oracle for q_geo_partitions (seed=1, train {small:0.1,
+    large:0.6}, test {small:0.1, large:1.0}, neg=(2,))."""
+    return partition_summary_sim(
+        objs["cands"].keys(),
+        objs["index"].keys(),
+        seed=1,
+        train_ratios={"small": 0.1, "large": 0.6},
+        test_ratios={"small": 0.1, "large": 1.0},
+        neg=(2,),
+    )
+
+
+def expected_geo_tiles(objs) -> pd.DataFrame:
+    """Independent tile assignments: ground ring (fixture projection spec)
+    → scalar spec rasterizer at zoom 18, coverage rounded to 6."""
+    rows = []
+    for oid in objs["cands"]:
+        ring = ground_ring_lonlat(objs["cands"][oid]["mesh"])
+        if ring is None:
+            continue
+        for tx, ty, cov in rasterize_footprint_s(ring.tolist(), 18):
+            rows.append(
+                {
+                    "obj_id": oid,
+                    "tile_x": np.int32(tx),
+                    "tile_y": np.int32(ty),
+                    "zoom": np.int32(18),
+                    "coverage": round(cov, 6),
+                }
+            )
+    return pd.DataFrame(rows).astype(
+        {"tile_x": "int32", "tile_y": "int32", "zoom": "int32"}
+    )
 
 
 # --------------------------------------------------------------------------
@@ -340,6 +676,74 @@ def expected_media_features(pages_pdf) -> pd.DataFrame:
                 }
             )
     return pd.DataFrame(rows).astype({"bin": "int32"})
+
+
+def expected_image_features(n: int, seed: int = 5) -> pd.DataFrame:
+    """Independent oracle for the REAL decode path: recompute the planted
+    pixel pattern from its documented spec (sources/media.py module
+    docstring — md5 coefficients, all-integer pixel formula) and derive
+    the 64 features directly from PIXELS, never touching the engine's
+    encoder or decoder. n_bytes comes from the container spec arithmetic
+    (BMP: 54 + padded rows; PPM: header text + 3wh)."""
+    import hashlib
+
+    def coef(mid, c, k):
+        return int(
+            hashlib.md5(f"{seed}|{mid}|{c}|{k}".encode()).hexdigest()[:8], 16
+        )
+
+    rows = []
+    for i in range(n):
+        mid = f"img{i:05d}"
+        w = 16 + coef(mid, 9, 0) % 17
+        h = 12 + coef(mid, 9, 1) % 13
+        px = [[[0] * 3 for _ in range(w)] for _ in range(h)]
+        for c in range(3):
+            a = coef(mid, c, 0) % 256
+            b = coef(mid, c, 1) % 256
+            d = coef(mid, c, 2) % 256
+            e = coef(mid, c, 3) % 256
+            for y in range(h):
+                for x in range(w):
+                    px[y][x][c] = (a * x + b * y + d * x * y + e) % 256
+        if coef(mid, 9, 2) % 2 == 0:
+            n_bytes = 54 + ((w * 3 + 3) // 4 * 4) * h
+        else:
+            n_bytes = len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+        npx = w * h
+        feats = [0.0] * 64
+        hist = [[0] * 16 for _ in range(3)]
+        sums = [0, 0, 0]
+        mins = [255] * 3
+        maxs = [0] * 3
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    v = px[y][x][c]
+                    hist[c][v >> 4] += 1
+                    sums[c] += v
+                    mins[c] = min(mins[c], v)
+                    maxs[c] = max(maxs[c], v)
+        for c in range(3):
+            for bi in range(16):
+                feats[16 * c + bi] = hist[c][bi] / npx
+            feats[48 + c] = sums[c] / npx
+            feats[51 + c] = float(mins[c])
+            feats[54 + c] = float(maxs[c])
+        feats[57] = sum(sums) / (3 * npx)
+        feats[58] = float(w)
+        feats[59] = float(h)
+        feats[60] = w / h
+        for bi, v in enumerate(feats):
+            rows.append(
+                {
+                    "media_id": mid,
+                    "n_bytes": n_bytes,
+                    "bin": np.int32(bi),
+                    "value": math.floor(v * 1e6 + 0.5) / 1e6,
+                }
+            )
+    return pd.DataFrame(rows).astype({"bin": "int32", "n_bytes": "int64"})
 
 
 def expected_lsh_buckets(sf_dir: str, n_planes: int = 6, seed: int = 7):
@@ -649,6 +1053,9 @@ def main() -> None:
         acc.setdefault("media_features", []).append(
             tag(expected_media_features(pdf_pages))
         )
+        acc.setdefault("image_features", []).append(
+            tag(expected_image_features(max(40, n_li // 400)))
+        )
         acc.setdefault("geo_pip", []).append(tag(expected_geo_pip(objs)))
 
         prop_dict = prop_dict_parallel(objs)
@@ -671,6 +1078,10 @@ def main() -> None:
             tag(expected_threshold_sweep(prop_dict))
         )
         acc.setdefault("geo_transform", []).append(tag(expected_transform(objs)))
+        acc.setdefault("geo_tiles", []).append(tag(expected_geo_tiles(objs)))
+        acc.setdefault("geo_partitions", []).append(
+            tag(expected_geo_partitions(objs))
+        )
         acc.setdefault("geo_centroid_knn", []).append(
             tag(expected_centroid_knn(objs))
         )
