@@ -572,6 +572,7 @@ def knn_join_range(
     features_col: str = "features",
     round_dists: int | None = 3,
     slice_rows: int = 100_000,
+    halo_slices: int | None = None,
     conf: EngineConf = DEFAULT_CONF,
 ) -> DataFrame:
     """Exact distributed kNN via equi-depth dim-0 range slices — the
@@ -605,8 +606,23 @@ def knn_join_range(
     shuffles, zero driver collects. Deterministic (dist, index_id) tie
     order everywhere — identical rows to the other strategies.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _ph(msg: str) -> None:
+        if _os.environ.get("SPARK_GRAFT_PHASE_LOG"):
+            print(
+                f"[knn-range] {msg} @ {_time.time() - _t0:.1f}s",
+                file=_sys.stderr,
+                flush=True,
+            )
+
     spark = cands.sparkSession
     n_index = index.count()
+    _ph("index count")
     # at least 2 slices per core so the cogroup stage fills the cluster;
     # floor so a slice never falls below ~8k rows (kernel efficiency) —
     # unless the caller explicitly asked for smaller slices (tests)
@@ -629,6 +645,7 @@ def knn_join_range(
         if probs
         else []
     )
+    _ph("boundaries")
     bounds = np.asarray([float(v) for v in interior])
     bc_bounds = spark.sparkContext.broadcast(bounds)
     k_req = min(k, n_index)
@@ -641,9 +658,33 @@ def knn_join_range(
             np.searchsorted(bc_bounds.value, x.to_numpy(), side="right")
         )
 
-    idx = index.select(
-        F.col(id_col).alias("index_id"), F.col(features_col).alias("_fi")
-    ).withColumn("_slice", _slice_of(F.element_at(F.col("_fi"), 1)))
+    # Halo replication: in a dense low-dimensional space the dim-0 span of
+    # a kth-NN ball holds ~k^(1/3)·n^(2/3) index rows (uniform-density
+    # law), which can exceed a parallelism-sized slice — at sf1 61% of
+    # queries crossed their slice edge and the second pass dominated.
+    # Each index row is therefore replicated to its slice ± W neighbors
+    # (JVM integer explode, 2W+1× duplication), sized so the typical
+    # half-interval fits inside the halo; queries never leave their slice
+    # and the crosser fallback only sees the kth-distance tail.
+    if halo_slices is None:
+        half_interval = (k ** (1.0 / 3.0)) * (n_index ** (2.0 / 3.0))
+        rows_per_slice = max(1.0, n_index / n_slices)
+        W = int(min(max(np.ceil(half_interval / rows_per_slice), 1), 8, n_slices - 1))
+    else:
+        W = int(min(max(halo_slices, 0), n_slices - 1))
+
+    idx = (
+        index.select(
+            F.col(id_col).alias("index_id"), F.col(features_col).alias("_fi")
+        )
+        .withColumn("_s0", _slice_of(F.element_at(F.col("_fi"), 1)))
+        .withColumn(
+            "_slice",
+            F.explode(F.sequence(F.col("_s0") - W, F.col("_s0") + W)),
+        )
+        .filter((F.col("_slice") >= 0) & (F.col("_slice") < n_slices))
+        .drop("_s0")
+    )
     cnd = (
         cands.select(
             F.col(id_col).alias("cand_id"), F.col(features_col).alias("_fc")
@@ -661,30 +702,43 @@ def knn_join_range(
             T.StructField("dist", T.DoubleType(), False),
             T.StructField("final", T.BooleanType(), False),
             T.StructField("kth", T.DoubleType(), False),
+            # crosser marker: the candidate's vector, attached to exactly
+            # ONE row of each NON-final candidate so round 2 needs no join
+            # back to the candidate table
+            T.StructField("_fc", T.ArrayType(T.DoubleType()), True),
         ]
     )
+    R1_COLS = [f.name for f in R1_SCHEMA.fields]
 
     def round1(key, cpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(cpdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in R1_SCHEMA.fields])
+            return pd.DataFrame(columns=R1_COLS)
         s = int(key[0])
         b = bc_bounds.value
-        lo_b = b[s - 1] if s - 1 >= 0 else -np.inf
-        hi_b = b[s] if s < len(b) else np.inf
-        out_c, out_i, out_r, out_d, out_f, out_k = [], [], [], [], [], []
+        # halo-aware coverage edges: this slice holds every index row of
+        # slices [s-W, s+W], i.e. values in [b[s-W-1], b[s+W])
+        lo_b = b[s - W - 1] if s - W - 1 >= 0 else -np.inf
+        hi_b = b[s + W] if s + W < len(b) + 1 and s + W <= len(b) - 1 else np.inf
+        rows = {c: [] for c in R1_COLS}
+
+        def emit(cid, iid, rank, dist, fin, kth, fc):
+            rows["cand_id"].append(cid)
+            rows["index_id"].append(iid)
+            rows["rank"].append(rank)
+            rows["dist"].append(dist)
+            rows["final"].append(fin)
+            rows["kth"].append(kth)
+            rows["_fc"].append(fc)
+
+        qmat = np.array(list(cpdf["_fc"]), dtype=np.float64)
         if len(ipdf) == 0:
-            for cid in cpdf["cand_id"]:
-                out_c.append(cid); out_i.append(None); out_r.append(0)
-                out_d.append(np.nan); out_f.append(False); out_k.append(np.inf)
-            return pd.DataFrame(
-                {"cand_id": out_c, "index_id": out_i, "rank": out_r,
-                 "dist": out_d, "final": out_f, "kth": out_k}
-            )
+            for bi, cid in enumerate(cpdf["cand_id"]):
+                emit(cid, None, 0, np.nan, False, np.inf, list(qmat[bi]))
+            return pd.DataFrame(rows)
         ids_i = ipdf["index_id"].to_numpy()
         mat_i = np.array(list(ipdf["_fi"]), dtype=np.float64)
         k_eff = min(k, len(ids_i))
         search = _make_local_searcher(ids_i, mat_i, k_eff)
-        qmat = np.array(list(cpdf["_fc"]), dtype=np.float64)
         for bi, cid in enumerate(cpdf["cand_id"]):
             sel_ids, dsel = search(qmat[bi])
             found = len(sel_ids)
@@ -693,16 +747,13 @@ def knn_join_range(
             kth = float(dsel[-1]) if found >= k_req else np.inf
             gap = min(qmat[bi, 0] - lo_b, hi_b - qmat[bi, 0])
             fin = bool(found >= k_req and kth < gap)
+            fc = None if fin else list(qmat[bi])
             for rank, (iid, dd) in enumerate(zip(sel_ids, dsel), start=1):
-                out_c.append(cid); out_i.append(iid); out_r.append(rank)
-                out_d.append(float(dd)); out_f.append(fin); out_k.append(kth)
+                emit(cid, iid, rank, float(dd), fin, kth, fc)
+                fc = None  # marker on the first row only
             if found == 0:
-                out_c.append(cid); out_i.append(None); out_r.append(0)
-                out_d.append(np.nan); out_f.append(False); out_k.append(np.inf)
-        return pd.DataFrame(
-            {"cand_id": out_c, "index_id": out_i, "rank": out_r,
-             "dist": out_d, "final": out_f, "kth": out_k}
-        )
+                emit(cid, None, 0, np.nan, False, np.inf, list(qmat[bi]))
+        return pd.DataFrame(rows)
 
     r1 = (
         cnd.groupBy("_slice")
@@ -712,74 +763,119 @@ def knn_join_range(
     )
 
     done = r1.filter(F.col("final"))
-    rest = r1.filter(~F.col("final"))
+    # round 2 — shuffle-free: the (thin) crosser set is collected and
+    # broadcast; ONE mapInPandas pass over the index answers each crosser
+    # from the rows inside its [x0−kth, x0+kth] interval. The interval is
+    # a superset of any possible final top-k member (every top-k row has
+    # full-space dist ≤ kth_r1, hence dim-0 within the interval — own
+    # slice included, so round-1 partial rows are NOT merged back: no
+    # duplicate-pair rank corruption, and per-batch top-k union is
+    # lossless by (dist, id) dominance). This replaced a 4-shuffle-stage
+    # cogroup chain whose fixed latency was the non-scaling term of the
+    # sf1 N-vs-4N gate (BENCH.md round 4).
+    #
+    # Driver bound: crosser count ≈ queries × (kth window / slice width);
+    # size slice_rows so this stays small (sf1: ~3% of 600k). The
+    # broadcast is chunked so no single broadcast exceeds ~40 MB.
+    cross_rows = (
+        r1.filter(F.col("_fc").isNotNull()).select("cand_id", "_fc", "kth").collect()
+    )
+    _ph(f"round1 + {len(cross_rows)} crossers collected")
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _target_slices(x0c: pd.Series, kth: pd.Series, own: pd.Series) -> pd.Series:
-        b = bc_bounds.value
-        x = x0c.to_numpy(dtype=np.float64)
-        d = kth.to_numpy(dtype=np.float64)
-        o = own.to_numpy(dtype=np.int64)
-        lo = np.searchsorted(b, x - d, side="right")
-        hi = np.searchsorted(b, x + d, side="right")
-        return pd.Series(
+    parts = [done.select("cand_id", "index_id", "rank", "dist")]
+    if cross_rows:
+        R2_SCHEMA = T.StructType(
             [
-                [s for s in range(int(l), int(h) + 1) if s != int(ow)]
-                for l, h, ow in zip(lo, hi, o)
+                T.StructField("cand_id", T.StringType(), False),
+                T.StructField("index_id", T.StringType(), False),
+                T.StructField("dist", T.DoubleType(), False),
             ]
         )
-
-    crossers = (
-        rest.groupBy("cand_id")
-        .agg(F.first("kth").alias("kth"))
-        .join(cnd, "cand_id")
-        .withColumn(
-            "_slice",
-            F.explode(_target_slices(F.col("_x0"), F.col("kth"), F.col("_slice"))),
+        # range-repartition + sort the index for this pass: interval rows
+        # then occupy 1-2 consecutive Arrow batches, so each crosser emits
+        # ~2k rows total instead of k rows per batch (with hash-partitioned
+        # input every batch overlaps every crosser — measured as a 75M-row
+        # blowup into the rank window at the 2M bench)
+        idx_r2 = (
+            index.select(
+                F.col(id_col).alias("index_id"), F.col(features_col).alias("_fi")
+            )
+            .withColumn("_x0i", F.element_at(F.col("_fi"), 1))
+            .repartitionByRange(max(2 * par, 8), "_x0i")
+            .sortWithinPartitions("_x0i")
+            .drop("_x0i")
         )
-        .select("cand_id", "_fc", "_slice")
-    )
+        w = Window.partitionBy("cand_id").orderBy("dist", "index_id")
+        CHUNK = 500_000
+        for c0 in range(0, len(cross_rows), CHUNK):
+            chunk = cross_rows[c0 : c0 + CHUNK]
+            c_ids = np.array([r["cand_id"] for r in chunk], dtype=object)
+            c_mat = np.array([r["_fc"] for r in chunk], dtype=np.float64)
+            c_kth = np.array([r["kth"] for r in chunk], dtype=np.float64)
+            # sorted by x0 so each index batch can restrict the crosser
+            # loop to the ones whose interval can overlap its x0 range
+            # (inf-kth crossers — slice had <k rows — are kept aside and
+            # always checked)
+            oc = np.argsort(c_mat[:, 0], kind="stable")
+            c_ids, c_mat, c_kth = c_ids[oc], c_mat[oc], c_kth[oc]
+            fin_mask = np.isfinite(c_kth)
+            pad = float(c_kth[fin_mask].max()) if fin_mask.any() else 0.0
+            bc_cross = spark.sparkContext.broadcast(
+                (c_ids, c_mat, c_kth, fin_mask, pad)
+            )
 
-    R2_SCHEMA = T.StructType(
-        [
-            T.StructField("cand_id", T.StringType(), False),
-            T.StructField("index_id", T.StringType(), False),
-            T.StructField("dist", T.DoubleType(), False),
-        ]
-    )
+            def r2_kernel(
+                batches: Iterator[pd.DataFrame], _bc=bc_cross
+            ) -> Iterator[pd.DataFrame]:
+                # _bc bound per chunk (late-binding closure would make every
+                # lazily-executed kernel read the LAST chunk's broadcast)
+                ids_q, mat_q, kth_q, fin_mask, pad = _bc.value
+                qx0 = mat_q[:, 0]
+                inf_idx = np.flatnonzero(~fin_mask)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    ids_i = pdf["index_id"].to_numpy()
+                    mat_i = np.array(list(pdf["_fi"]), dtype=np.float64)
+                    order = np.argsort(mat_i[:, 0], kind="stable")
+                    x0s = np.ascontiguousarray(mat_i[order, 0])
+                    mats = np.ascontiguousarray(mat_i[order])
+                    idss = ids_i[order]
+                    ids_str = idss.astype(str)
+                    # crossers whose interval can overlap this batch's range
+                    ql = int(np.searchsorted(qx0, x0s[0] - pad, side="left"))
+                    qh = int(np.searchsorted(qx0, x0s[-1] + pad, side="right"))
+                    qis = np.concatenate(
+                        [np.arange(ql, qh), inf_idx[(inf_idx < ql) | (inf_idx >= qh)]]
+                    )
+                    out_c, out_i, out_d = [], [], []
+                    for qi in qis:
+                        d = kth_q[qi]
+                        lo = int(np.searchsorted(x0s, mat_q[qi, 0] - d, side="left"))
+                        hi = int(np.searchsorted(x0s, mat_q[qi, 0] + d, side="right"))
+                        if lo >= hi:
+                            continue
+                        seg = mats[lo:hi] - mat_q[qi]
+                        dist = np.sqrt(np.einsum("nd,nd->n", seg, seg))
+                        sel = np.lexsort((ids_str[lo:hi], dist))[:k]
+                        for j in sel:
+                            out_c.append(ids_q[qi])
+                            out_i.append(idss[lo + j])
+                            out_d.append(float(dist[j]))
+                    if out_c:
+                        yield pd.DataFrame(
+                            {"cand_id": out_c, "index_id": out_i, "dist": out_d}
+                        )
 
-    def round2(key, cpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(cpdf) == 0 or len(ipdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in R2_SCHEMA.fields])
-        ids_i = ipdf["index_id"].to_numpy()
-        mat_i = np.array(list(ipdf["_fi"]), dtype=np.float64)
-        k_eff = min(k, len(ids_i))
-        search = _make_local_searcher(ids_i, mat_i, k_eff)
-        qmat = np.array(list(cpdf["_fc"]), dtype=np.float64)
-        out_c, out_i, out_d = [], [], []
-        for bi, cid in enumerate(cpdf["cand_id"]):
-            sel_ids, dsel = search(qmat[bi])
-            for iid, dd in zip(sel_ids, dsel):
-                out_c.append(cid); out_i.append(iid); out_d.append(float(dd))
-        return pd.DataFrame({"cand_id": out_c, "index_id": out_i, "dist": out_d})
-
-    partial2 = (
-        crossers.groupBy("_slice")
-        .cogroup(idx.groupBy("_slice"))
-        .applyInPandas(round2, schema=R2_SCHEMA)
-    )
-    partial1 = rest.filter(F.col("index_id").isNotNull()).select(
-        "cand_id", "index_id", "dist"
-    )
-    w = Window.partitionBy("cand_id").orderBy("dist", "index_id")
-    merged = (
-        partial1.unionByName(partial2)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    out = done.select("cand_id", "index_id", "rank", "dist").unionByName(
-        merged.select("cand_id", "index_id", "rank", "dist")
-    )
+            partial = idx_r2.mapInPandas(r2_kernel, schema=R2_SCHEMA)
+            parts.append(
+                partial.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("cand_id", "index_id", "rank", "dist")
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     if round_dists is not None:
         out = out.withColumn("dist", F.round("dist", round_dists))
     return out.select("cand_id", "index_id", "rank", "dist")

@@ -96,6 +96,20 @@ def run_pipeline(
         )
         return int(row["n_c"]), int(row["n_i"]), int(row["n_int"])
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _phase(msg: str) -> None:
+        if _os.environ.get("SPARK_GRAFT_PHASE_LOG"):
+            print(
+                f"[phase] {msg} @ {_time.time() - _t0:.1f}s",
+                file=_sys.stderr,
+                flush=True,
+            )
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_order = pool.submit(bkafi_feature_order, properties, "std")
         f_fit = pool.submit(
@@ -106,6 +120,7 @@ def run_pipeline(
         f_cnt = pool.submit(job_counts)
         order = f_order.result()
         stats_all = f_fit.result()
+    _phase("A done (order+fit)")
     feats = order[:bkafi_dim]
     scaler_stats = {f: stats_all[f] for f in feats}
 
@@ -129,8 +144,10 @@ def run_pipeline(
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cand = pool.submit(job_candidates)
         f_thr = pool.submit(job_thresholds)
-        candidates = f_cand.result()
         thresholds = f_thr.result()
+        _phase("B thresholds done")
+        candidates = f_cand.result()
+        _phase("B kNN done")
     n_c, n_i, n_int = f_cnt.result()
 
     thr = thresholds[decision_percentile]
