@@ -146,11 +146,13 @@ def percentile_thresholds(
     col: str = "dist",
 ) -> dict[float, float]:
     """Exact linear-interpolated percentiles (np.percentile semantics,
-    bkafi_with_threshold.py:131-134) in one aggregation."""
-    row = dists.agg(
-        F.percentile(F.col(col), F.array(*[F.lit(p) for p in percentiles])).alias("q")
-    ).first()
-    return {p: float(v) for p, v in zip(percentiles, row["q"])}
+    bkafi_with_threshold.py:131-134), computed distributively — see
+    operators/scaler.py::exact_percentiles (the single-reducer exact
+    ``percentile`` aggregate is a serial scale-killer)."""
+    from .scaler import exact_percentiles
+
+    qs = exact_percentiles(dists, [col], list(percentiles))[col]
+    return {p: float(v) for p, v in zip(percentiles, qs)}
 
 
 def threshold_match(candidates: DataFrame, threshold: float) -> DataFrame:
