@@ -690,14 +690,17 @@ def knn_join_range(
     spark = cands.sparkSession
     n_index = index.count()
     _ph("index count")
-    # at least 2 slices per core so the cogroup stage fills the cluster;
-    # floor so a slice never falls below ~8k rows (kernel efficiency) —
+    # at least 4 slices per core: slice keys are HASH-distributed over the
+    # cogroup partitions, so a coarse 2-per-core slicing put 2-3 slices in
+    # one task (birthday collisions) and ran them sequentially while other
+    # cores idled — finer slices make a collision cost ~2 s, not ~7 s.
+    # Floor so a slice never falls below ~8k rows (kernel efficiency) —
     # unless the caller explicitly asked for smaller slices (tests)
     par = spark.sparkContext.defaultParallelism
     n_slices = max(
         1,
         min(
-            max(n_index // slice_rows, 2 * par),
+            max(n_index // slice_rows, 4 * par),
             n_index // min(slice_rows, 8_000),
         ),
     )
@@ -778,6 +781,9 @@ def knn_join_range(
     R1_COLS = [f.name for f in R1_SCHEMA.fields]
 
     def round1(key, cpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        import time as _t
+
+        _tin = _t.time()
         if len(cpdf) == 0:
             return pd.DataFrame(columns=R1_COLS)
         s = int(key[0])
@@ -786,24 +792,22 @@ def knn_join_range(
         # slices [s-W, s+W], i.e. values in [b[s-W-1], b[s+W])
         lo_b = b[s - W - 1] if s - W - 1 >= 0 else -np.inf
         hi_b = b[s + W] if s + W < len(b) + 1 and s + W <= len(b) - 1 else np.inf
-        rows = {c: [] for c in R1_COLS}
-
-        def emit(cid, iid, rank, dist, fin, kth, fc):
-            rows["cand_id"].append(cid)
-            rows["index_id"].append(iid)
-            rows["rank"].append(rank)
-            rows["dist"].append(dist)
-            rows["final"].append(fin)
-            rows["kth"].append(kth)
-            rows["_fc"].append(fc)
 
         qmat = np.array(list(cpdf["_fc"]), dtype=np.float64)
+        cand_ids = cpdf["cand_id"].to_numpy()
+        nq = len(cand_ids)
         if len(ipdf) == 0:
-            for bi, cid in enumerate(cpdf["cand_id"]):
-                emit(cid, None, 0, np.nan, False, np.inf, list(qmat[bi]))
-            return pd.DataFrame(rows)
-        import time as _t
-
+            return pd.DataFrame(
+                {
+                    "cand_id": cand_ids,
+                    "index_id": np.full(nq, None, dtype=object),
+                    "rank": np.zeros(nq, dtype=np.int32),
+                    "dist": np.full(nq, np.nan),
+                    "final": np.zeros(nq, dtype=bool),
+                    "kth": np.full(nq, np.inf),
+                    "_fc": [list(q) for q in qmat],
+                }
+            )
         _t0 = _t.time()
         ids_i = ipdf["index_id"].to_numpy()
         mat_i = np.array(list(ipdf["_fi"]), dtype=np.float64)
@@ -811,33 +815,88 @@ def knn_join_range(
         k_eff = min(k, len(ids_i))
         search = _make_local_searcher(ids_i, mat_i, k_eff)
         _t2 = _t.time()
-        for bi, cid in enumerate(cpdf["cand_id"]):
+        # per-QUERY array accumulation (per-row python appends measured
+        # ~10% of the kernel loop at sf1); one concatenate + np.repeat
+        # builds the output columns
+        id_parts: list[np.ndarray] = []
+        d_parts: list[np.ndarray] = []
+        counts = np.empty(nq, dtype=np.int64)
+        fin_q = np.empty(nq, dtype=bool)
+        kth_q = np.empty(nq, dtype=np.float64)
+        empty_q = np.zeros(nq, dtype=bool)
+        gaps = np.minimum(qmat[:, 0] - lo_b, hi_b - qmat[:, 0])
+        _none_id = np.array([None], dtype=object)
+        _nan_d = np.array([np.nan])
+        for bi in range(nq):
             sel_ids, dsel = search(qmat[bi])
             found = len(sel_ids)
-            # fewer than the required k rows in this slice → the kth-ball
-            # radius is unknown: expansion must cover every slice
-            kth = float(dsel[-1]) if found >= k_req else np.inf
-            gap = min(qmat[bi, 0] - lo_b, hi_b - qmat[bi, 0])
-            fin = bool(found >= k_req and kth < gap)
-            fc = None if fin else list(qmat[bi])
-            for rank, (iid, dd) in enumerate(zip(sel_ids, dsel), start=1):
-                emit(cid, iid, rank, float(dd), fin, kth, fc)
-                fc = None  # marker on the first row only
-            if found == 0:
-                emit(cid, None, 0, np.nan, False, np.inf, list(qmat[bi]))
+            if found:
+                # fewer than the required k rows in this slice → the
+                # kth-ball radius is unknown: expansion must cover every
+                # slice
+                kq = float(dsel[-1]) if found >= k_req else np.inf
+                id_parts.append(sel_ids)
+                d_parts.append(dsel)
+                counts[bi] = found
+            else:
+                kq = np.inf
+                id_parts.append(_none_id)
+                d_parts.append(_nan_d)
+                counts[bi] = 1
+                empty_q[bi] = True
+            kth_q[bi] = kq
+            fin_q[bi] = (found >= k_req) and (kq < gaps[bi])
+        total = int(counts.sum())
+        offs = np.zeros(nq, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        ranks = (
+            np.arange(1, total + 1, dtype=np.int64)
+            - np.repeat(offs, counts)
+        ).astype(np.int32)
+        ranks[offs[empty_q]] = 0
+        fcol = np.full(total, None, dtype=object)
+        for bi in np.flatnonzero(~fin_q):
+            fcol[offs[bi]] = qmat[bi].tolist()
+        _t3 = _t.time()
+        out = pd.DataFrame(
+            {
+                "cand_id": np.repeat(cand_ids, counts),
+                "index_id": np.concatenate(id_parts),
+                "rank": ranks,
+                "dist": np.concatenate(d_parts),
+                "final": np.repeat(fin_q, counts),
+                "kth": np.repeat(kth_q, counts),
+                "_fc": fcol,
+            }
+        )
         if _os.environ.get("SPARK_GRAFT_PHASE_LOG"):
             print(
-                f"[r1-task] slice={s} nq={len(cpdf)} ni={len(ipdf)} "
+                f"[r1-task] pid={_os.getpid()} "
+                f"tp={__import__('pyspark').TaskContext.get().partitionId()} "
+                f"slice={s} nq={len(cpdf)} ni={len(ipdf)} "
                 f"convert={_t1 - _t0:.2f}s sort={_t2 - _t1:.2f}s "
-                f"query={_t.time() - _t2:.2f}s",
+                f"query={_t3 - _t2:.2f}s build={_t.time() - _t3:.2f}s "
+                f"pre={_t0 - _tin:.2f}s t_in={_tin:.2f} t_out={_t.time():.2f}",
                 file=_sys.stderr,
                 flush=True,
             )
-        return pd.DataFrame(rows)
+        return out
 
+    # Explicit repartition to 4× the slice count: slice tasks are
+    # python-kernel-bound (seconds each) but their shuffle blocks are only
+    # a few MB, so the default spark.sql.shuffle.partitions layout both
+    # (a) let AQE coalesce them into multi-group tasks and (b) murmur-
+    # collided several integer slice keys into one partition — either way
+    # groups ran SEQUENTIALLY inside a task while other cores idled
+    # (measured: 16-core round-1 wall 34.8 s vs ~17 s of summed kernel
+    # time, BENCH.md round 4). A user repartition is exempt from AQE
+    # coalescing, and 4× partitions make a key collision rare and cheap;
+    # empty partitions never reach python.
+    n_part = 4 * n_slices
     r1 = (
-        cnd.groupBy("_slice")
-        .cogroup(idx.groupBy("_slice"))
+        cnd.repartition(n_part, "_slice")
+        .groupBy("_slice")
+        .cogroup(idx.repartition(n_part, "_slice").groupBy("_slice"))
         .applyInPandas(round1, schema=R1_SCHEMA)
         .persist()
     )

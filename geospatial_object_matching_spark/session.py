@@ -45,7 +45,13 @@ def get_spark(
         # deterministic timestamps regardless of host zone
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # sf1-class local runs in one JVM: 8g forced multi-second GC stalls
+        # between python-kernel waves (measured: kNN round-1 46.8 s at 8g
+        # vs 40.5 s at 28g, 16 cores — BENCH.md round 4); 24g keeps the
+        # Arrow buffers + cached stages out of GC pressure. Cluster
+        # deployments size executors independently; this only affects the
+        # local driver JVM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")

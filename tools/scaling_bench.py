@@ -16,7 +16,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_at(cpus: int, sf_dir: str, n_entities: int, trials: int = 2) -> dict:
+def run_at(
+    cpus: int,
+    sf_dir: str,
+    n_entities: int,
+    trials: int = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2")),
+) -> dict:
     """Min wall over ``trials`` runs — this host's steal time and
     page-fault service vary by 2-4× run to run; min is the standard
     noise-robust wall-clock estimator."""
