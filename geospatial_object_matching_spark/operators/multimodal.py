@@ -3,13 +3,15 @@
 Media rides as opaque ``binary`` columns with typed metadata structs; the
 Spark-side machinery — schema, partition sizing, Arrow batch shape,
 ``mapInPandas`` kernel signatures — is real and tested. Decode is REAL
-(pure numpy) for the uncompressed containers: BMP (BI_RGB 24/32-bit) and
-binary PPM (P6), feeding an integer-exact 64-dim pixel-feature kernel
-that the planted-image oracle recomputes independently
-(sources/media.py fixture, ``image_features`` driver query). Compressed
-formats (PNG/JPEG/video/audio) still raise ``NotImplementedError`` — no
-codec library exists in this container; ``fake=True`` keeps the
-deterministic byte-histogram stand-in for arbitrary blobs.
+(pure numpy) for BMP (BI_RGB 24/32-bit), binary PPM (P6) and the PNG
+subset the engine's own renderer emits (8-bit RGB, filters 0-2,
+functions/png.py — stdlib zlib inflate), feeding an integer-exact 64-dim
+pixel-feature kernel that the planted-image oracle recomputes
+independently (sources/media.py fixture, ``image_features`` driver
+query; operators/render.py, ``render_features`` query). JPEG/video/audio
+still raise ``NotImplementedError`` — no codec library exists in this
+container; ``fake=True`` keeps the deterministic byte-histogram stand-in
+for arbitrary blobs.
 
 At 100 TB the rules encoded here: media bytes never enter a shuffle (all
 feature extraction happens scan-side in one mapInPandas pass before any
@@ -122,9 +124,13 @@ def _decode_image(blob: bytes) -> np.ndarray:
         return _decode_bmp(blob)
     if blob[:2] == b"P6":
         return _decode_ppm(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        return decode_png(bytes(blob))
     raise NotImplementedError(
-        "only uncompressed BMP/PPM decode without an imaging library; "
-        "got magic " + repr(bytes(blob[:2]))
+        "only BMP/PPM/PNG(8-bit RGB, filters 0-2) decode without an "
+        "imaging library; got magic " + repr(bytes(blob[:2]))
     )
 
 

@@ -1050,6 +1050,52 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_render_features(spark, sf_dir):
+    """S7 render baseline end-to-end (reference utils.py:134-163
+    ``generate_png_fig`` renders every object's mesh to a PNG for the
+    image matching baseline): extract → RENDER SPEC v1 integer
+    rasterizer (operators/render.py) → real PNG container bytes
+    (functions/png.py) → pure-numpy PNG decode → integer-exact 64-dim
+    pixel features. The oracle scalar-reimplements the whole chain from
+    the documented specs (raster integers, stdlib-zlib container
+    arithmetic, pixel formula) with no engine imports, so a broken
+    rasterizer, encoder, or decoder goes red."""
+    from ..operators.multimodal import extract_media_features
+    from ..operators.render import render_objects_png
+
+    objects = extract_objects(_geo_pages(spark, sf_dir), zoom=15).select(
+        F.concat_ws("|", "source", "obj_id").alias("objkey"),
+        "coords",
+        "ring_offsets",
+    )
+    rend = render_objects_png(objects, id_col="objkey")
+    feats = extract_media_features(rend, id_col="obj_id", blob_col="blob")
+    return feats.select(
+        F.col("media_id").alias("obj_key"),
+        "n_bytes",
+        F.posexplode("features").alias("bin", "value"),
+    ).select(
+        "obj_key", "n_bytes", "bin", _fround(F.col("value"), 6).alias("value")
+    )
+
+
+def q_contrastive_quality(spark, sf_dir):
+    """M5 contrastive image-matching lifecycle (reference
+    contrastive_training_matching_with contamination.py:27-151
+    ``run_pipeline``): render every object (S7) → deterministic image
+    encoder (S8 stand-in, operators/contrastive.py) → blocking-based
+    pos/neg image pairs → |emb1-emb2| features (JVM columns) → driver-fit
+    MLP head → distributed predict → one P/R/F1 row. Same smaller entity
+    set as matching_quality (the render+encode pass dominates)."""
+    from ..plans.contrastive import run_contrastive_matching
+
+    li = _t(spark, sf_dir, "lineitem").count()
+    n_entities = max(30, li // 400)
+    pages = generate_pages_df(spark, n_entities, seed=42)
+    res = run_contrastive_matching(spark, pages, n_neg=2, seed=1)
+    return spark.createDataFrame(res)
+
+
 def q_geo_matching_quality(spark, sf_dir):
     """Matching-quality lifecycle (reference §3.2): blocking-based pair
     partitions → 25 ratio features → cv=3 grid search over two backbones
@@ -1224,8 +1270,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
     "geo_matching_quality": q_geo_matching_quality,
+    "contrastive_quality": q_contrastive_quality,
     "media_features": q_media_features,
     "image_features": q_image_features,
+    "render_features": q_render_features,
     "geo_partitions": q_geo_partitions,
     "geo_transform": q_geo_transform,
     "geo_blocking_fi": q_geo_blocking_fi,
@@ -1358,11 +1406,18 @@ ORACLE_SQL.update(
             "geo_matching_quality",
             ["model", "cv_f1", "precision", "recall", "f1"],
         ),
+        "contrastive_quality": _expected_sql(
+            "contrastive_quality",
+            ["model", "precision", "recall", "f1"],
+        ),
         "media_features": _expected_sql(
             "media_features", ["media_id", "n_bytes", "bin", "value"]
         ),
         "image_features": _expected_sql(
             "image_features", ["media_id", "n_bytes", "bin", "value"]
+        ),
+        "render_features": _expected_sql(
+            "render_features", ["obj_key", "n_bytes", "bin", "value"]
         ),
         "geo_partitions": _expected_sql(
             "geo_partitions", ["split", "size", "key", "n_rows", "n_pos"]

@@ -70,10 +70,13 @@ TIER = {
     "geo_transform": "independent",
     "geo_tiles": "independent",
     "geo_partitions": "independent",
+    "render_features": "independent",
     # still golden: learned-model outputs only (blocking_fi,
-    # matching_quality) — their independent signal lives in pytest
+    # matching_quality, contrastive_quality) — their independent signal
+    # lives in pytest (determinism, separability, injected-bug flips)
     "geo_blocking_fi": "golden",
     "geo_matching_quality": "golden",
+    "contrastive_quality": "golden",
 }
 
 GOLDEN_QUERIES = sorted(k for k, v in TIER.items() if v == "golden")
@@ -746,6 +749,136 @@ def expected_image_features(n: int, seed: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"bin": "int32", "n_bytes": "int64"})
 
 
+def _render_feature_rows(key: str, mesh) -> list[dict]:
+    """Worker: one object → 64 feature rows. Scalar reimplementation of
+    RENDER SPEC v1 (operators/render.py docstring — keep in sync BY
+    SPEC, no engine imports), the PNG container arithmetic
+    (functions/png.py: sig 8 + IHDR 25 + IDAT 12+len(zlib level 6,
+    filter-0 scanlines) + IEND 12 bytes), and the pixel-feature formula
+    (operators/multimodal.py). Integer geometry after the snap makes the
+    raster bit-exact; stdlib zlib makes the byte length bit-exact."""
+    import zlib
+
+    S, m = 48, 2
+    xs, ys, zs = [], [], []
+    ranges = []
+    for surf in mesh:
+        a = len(xs)
+        for p in surf:
+            xs.append(p[0])
+            ys.append(p[1])
+            zs.append(p[2])
+        ranges.append((a, len(xs)))
+    us = [x - y for x, y in zip(xs, ys)]
+    vs = [z - (x + y) / 2.0 for x, y, z in zip(xs, ys, zs)]
+    umin, vmin = min(us), min(vs)
+    span = max(max(us) - umin, max(vs) - vmin)
+    if span <= 0:
+        span = 1.0
+    scale = (S - 1 - 2 * m) / span
+    U = [2 * (math.floor((u - umin) * scale + 0.5) + m) for u in us]
+    V = [2 * (math.floor((v - vmin) * scale + 0.5) + m) for v in vs]
+    depth = [(x + y) + z for x, y, z in zip(xs, ys, zs)]
+    zmin_o, zmax_o = min(zs), max(zs)
+    zspan = zmax_o - zmin_o
+
+    order = []
+    for s, (a, b) in enumerate(ranges):
+        if b - a >= 3:
+            order.append((max(depth[a:b]), s))
+    order.sort()
+
+    img = [[[0, 0, 0] for _ in range(S)] for _ in range(S)]
+    for _, s in order:
+        a, b = ranges[s]
+        Us, Vs = U[a:b], V[a:b]
+        zmax_s = max(zs[a:b])
+        r_ = 1.0 if zspan <= 0 else (zmax_s - zmin_o) / zspan
+        shade = 64 + math.floor(191 * r_ + 0.5)
+        col = [shade, 255 - shade, (37 * (s + 1)) % 256]
+        px_lo = max(0, (min(Us) - 1) // 2)
+        px_hi = min(S - 1, max(Us) // 2)
+        pv_lo = max(0, (min(Vs) - 1) // 2)
+        pv_hi = min(S - 1, max(Vs) // 2)
+        n = b - a
+        for pvi in range(pv_lo, pv_hi + 1):
+            cv = 2 * pvi + 1
+            # edges straddling this scanline, hoisted out of the px loop
+            edges = []
+            for i in range(n):
+                av, bv = Vs[i], Vs[(i + 1) % n]
+                if (av > cv) != (bv > cv):
+                    edges.append((U[a + i], av, U[a + (i + 1) % n], bv))
+            if not edges:
+                continue
+            for pxi in range(px_lo, px_hi + 1):
+                cu = 2 * pxi + 1
+                cross = 0
+                for au, av, bu, bv in edges:
+                    lhs = (cv - av) * (bu - au)
+                    rhs = (cu - au) * (bv - av)
+                    if (lhs < rhs) if bv > av else (lhs > rhs):
+                        cross += 1
+                if cross % 2 == 1:
+                    img[S - 1 - pvi][pxi] = col
+    # PNG byte length: filter-0 scanline stream through stdlib zlib
+    raw = bytearray()
+    for row in img:
+        raw.append(0)
+        for p in row:
+            raw += bytes(p)
+    n_bytes = 8 + 25 + (12 + len(zlib.compress(bytes(raw), 6))) + 12
+
+    npx = S * S
+    feats = [0.0] * 64
+    hist = [[0] * 16 for _ in range(3)]
+    sums = [0, 0, 0]
+    mins = [255] * 3
+    maxs = [0] * 3
+    for row in img:
+        for p in row:
+            for c in range(3):
+                v = p[c]
+                hist[c][v >> 4] += 1
+                sums[c] += v
+                mins[c] = min(mins[c], v)
+                maxs[c] = max(maxs[c], v)
+    for c in range(3):
+        for bi in range(16):
+            feats[16 * c + bi] = hist[c][bi] / npx
+        feats[48 + c] = sums[c] / npx
+        feats[51 + c] = float(mins[c])
+        feats[54 + c] = float(maxs[c])
+    feats[57] = sum(sums) / (3 * npx)
+    feats[58] = float(S)
+    feats[59] = float(S)
+    feats[60] = S / S
+    return [
+        {
+            "obj_key": key,
+            "n_bytes": n_bytes,
+            "bin": np.int32(bi),
+            "value": math.floor(v * 1e6 + 0.5) / 1e6,
+        }
+        for bi, v in enumerate(feats)
+    ]
+
+
+def expected_render_features(objs, workers: int = 16) -> pd.DataFrame:
+    """Independent oracle for the S7 render path: scalar raster + scalar
+    container arithmetic + scalar pixel features, parallelized per
+    object."""
+    items = [
+        (f"{t}|{oid}", rec["mesh"])
+        for t in ("cands", "index")
+        for oid, rec in objs[t].items()
+    ]
+    with Pool(workers) as pool:
+        results = pool.starmap(_render_feature_rows, items, chunksize=8)
+    rows = [r for rs in results for r in rs]
+    return pd.DataFrame(rows).astype({"bin": "int32", "n_bytes": "int64"})
+
+
 def expected_lsh_buckets(sf_dir: str, n_planes: int = 6, seed: int = 7):
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     vecs = np.array(list(emb["embedding"]), dtype=np.float64)
@@ -1055,6 +1188,9 @@ def main() -> None:
         )
         acc.setdefault("image_features", []).append(
             tag(expected_image_features(max(40, n_li // 400)))
+        )
+        acc.setdefault("render_features", []).append(
+            tag(expected_render_features(objs))
         )
         acc.setdefault("geo_pip", []).append(tag(expected_geo_pip(objs)))
 
