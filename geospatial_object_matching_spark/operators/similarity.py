@@ -62,6 +62,117 @@ def cosine_topk(
     )
 
 
+def dense_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cap: int = 2_000_000,
+) -> DataFrame:
+    """Exact top-k by cosine via a broadcast dense index matrix + one BLAS
+    GEMM per Arrow batch + argpartition — the flat-inner-product index
+    analog of :func:`cosine_topk`, with the identical output contract
+    ``(query_id, vec_id, rank, cosine)`` (rank by cosine desc, ties by
+    vec_id asc, self-matches excluded).
+
+    Scale shape: the index (ids + L2-normalized float64 matrix) is
+    collected ONCE on the driver (dispatch-capped at ``index_cap`` rows,
+    the same pattern as ``knn_join_broadcast``) and broadcast to
+    executors; each query partition streams ``Q_unit @ M.T`` through a
+    reused GEMM buffer and keeps k rows per query — |Q|·|B|·d FLOPs
+    inside BLAS instead of |Q|·|B| shuffled rows through a rank window.
+    Past the cap, use :func:`lsh_cosine_topk` / :func:`ivf_cosine_topk`
+    (approximate) or shard the index and merge per-query top-k (the
+    ``knn_join_range`` pattern).
+
+    Semantics note: zero-norm vectors get cosine 0.0 against everything
+    (the crossJoin form yields NaN there); identical on any input
+    without zero vectors.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_index = embeddings.count()
+    if n_index > index_cap:
+        raise ValueError(
+            f"dense index has {n_index} rows > cap {index_cap}; use "
+            "lsh_cosine_topk/ivf_cosine_topk or a sharded exact merge"
+        )
+    idx_pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = idx_pdf[id_col].tolist()
+    M = np.array(idx_pdf[vec_col].tolist(), dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    M = np.where(nrm > 0, M / np.where(nrm == 0, 1.0, nrm), 0.0)
+    MT = np.ascontiguousarray(M.T)  # (d, B) — clean GEMM operand
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, MT))
+
+    q_id_type = queries.schema[id_col].dataType
+    b_id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_type),
+            T.StructField("vec_id", b_id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        ids_l, MT_l = bc.value
+        B = MT_l.shape[1]
+        id_pos = {v: i for i, v in enumerate(ids_l)}
+        m = min(B, k + 8)
+        rows_per = max(1, 32_000_000 // max(B, 1))
+        sbuf = np.empty((rows_per, B), dtype=np.float64)
+        for pdf in batches:
+            qids_all = pdf[id_col].tolist()
+            Q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = np.where(qn > 0, Q / np.where(qn == 0, 1.0, qn), 0.0)
+            out_q, out_v, out_r, out_c = [], [], [], []
+            for lo in range(0, len(Q), rows_per):
+                Qc = np.ascontiguousarray(Q[lo : lo + rows_per])
+                S = np.dot(Qc, MT_l, out=sbuf[: len(Qc)])
+                for i in range(len(Qc)):
+                    s = S[i]
+                    pos = id_pos.get(qids_all[lo + i])
+                    if pos is not None:
+                        s[pos] = -np.inf
+                    if B <= m:
+                        cand = list(range(B))
+                    else:
+                        cand = np.argpartition(-s, m - 1)[:m].tolist()
+                    cand.sort(key=lambda j: (-s[j], ids_l[j]))
+                    top = cand[: min(k, len(cand))]
+                    # exact tie boundary: if the kth kept score equals the
+                    # worst candidate score, ties may straddle the
+                    # argpartition cut — re-derive candidates from >= kth
+                    if len(cand) > len(top) and B > m:
+                        kth = s[top[-1]]
+                        if kth <= min(s[j] for j in cand):
+                            cand = np.nonzero(s >= kth)[0].tolist()
+                            cand.sort(key=lambda j: (-s[j], ids_l[j]))
+                            top = cand[: min(k, len(cand))]
+                    n_keep = sum(1 for j in top if s[j] > -np.inf)
+                    top = top[:n_keep]
+                    out_q.extend([qids_all[lo + i]] * len(top))
+                    out_v.extend(ids_l[j] for j in top)
+                    out_r.extend(range(1, len(top) + 1))
+                    out_c.extend(float(s[j]) for j in top)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "vec_id": out_v,
+                    "rank": pd.array(out_r, dtype="int32"),
+                    "cosine": pd.array(out_c, dtype="float64"),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def _projection_matrix(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.normal(0.0, 1.0, (n_planes, dim)).tolist()

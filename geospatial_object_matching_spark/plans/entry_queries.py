@@ -723,6 +723,18 @@ WHERE rank <= 5
 """
 
 
+def q_dense_cosine_topk(spark, sf_dir):
+    """Same query as q_cosine_topk but through the broadcast-GEMM dense
+    kernel (operators/similarity.py::dense_cosine_topk) — exact, so it
+    shares SQL_COSINE_TOPK verbatim as its DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = SIM.dense_cosine_topk(e, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = SIM.embedding_near_dup_pairs(e, threshold=0.3, bucket_col="label")
@@ -1257,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
+    "dense_cosine_topk": q_dense_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1308,6 +1321,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
+    "dense_cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }
 

@@ -140,6 +140,56 @@ class TestCosine:
                 sub["cosine"].to_numpy(), cos[order], atol=1e-9
             )
 
+    def test_dense_equals_crossjoin(self, emb):
+        """dense_cosine_topk (broadcast GEMM kernel) == cosine_topk
+        (crossJoin + rank window) on the same input: identical ids, ranks
+        and cosines (1e-9 — BLAS vs JVM fold sum order)."""
+        df, vecs = emb
+        q = df.filter(F.col("vec_id") < 7)
+        a = (
+            SIM.cosine_topk(df, q, k=4)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            SIM.dense_cosine_topk(df, q, k=4)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(a["query_id"]) == list(b["query_id"])
+        assert list(a["vec_id"]) == list(b["vec_id"])
+        assert list(a["rank"]) == list(b["rank"])
+        np.testing.assert_allclose(
+            a["cosine"].to_numpy(), b["cosine"].to_numpy(), atol=1e-9
+        )
+
+    def test_dense_tie_order_and_self_exclusion(self, spark):
+        """Many exact-duplicate vectors: ties must break by vec_id asc
+        (including ties that straddle the argpartition boundary) and the
+        query's own row must be excluded."""
+        base = [1.0, 2.0, 3.0, 4.0]
+        rows = [(i, base) for i in range(30)] + [(99, [4.0, 3.0, 2.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = (
+            SIM.dense_cosine_topk(df, df.filter(F.col("vec_id") == 5), k=10)
+            .toPandas()
+            .sort_values("rank")
+        )
+        # 30 duplicates minus self → ids 0..10 skipping 5, in id order
+        assert list(out["vec_id"]) == [0, 1, 2, 3, 4, 6, 7, 8, 9, 10]
+        assert list(out["rank"]) == list(range(1, 11))
+        assert (out["cosine"] > 0.999999).all()
+
+    def test_dense_index_cap_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="cap"):
+            SIM.dense_cosine_topk(df, df, k=2, index_cap=5)
+
     def test_lsh_subset_of_bucket(self, emb):
         df, vecs = emb
         out = SIM.lsh_cosine_topk(
