@@ -112,6 +112,11 @@ def main() -> None:
         # cid equi-join); the exact crossJoin cosine_topk stays an
         # oracle/test-only reference — never a bench-headline plan.
         "ivf_topk",
+        # media-path headline: render (S7) + encode (S8) every object
+        # scan-side, then the broadcast-GEMM IndexFlatIP top-k + PC@k —
+        # the reference's image-blocking baseline spends 176.75 s (ViT-
+        # B/32, Hague) on the same shape (BASELINE.md / TR Table 3)
+        "geo_image_blocking",
         "text_quality",
         "tumbling_window",
     ):

@@ -69,12 +69,18 @@ def dense_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cap: int = 2_000_000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine via a broadcast dense index matrix + one BLAS
     GEMM per Arrow batch + argpartition — the flat-inner-product index
     analog of :func:`cosine_topk`, with the identical output contract
     ``(query_id, vec_id, rank, cosine)`` (rank by cosine desc, ties by
-    vec_id asc, self-matches excluded).
+    vec_id asc, self-matches excluded when ``exclude_self``).
+
+    ``exclude_self=False`` keeps index rows whose id equals the query id —
+    the cross-table blocking form (reference blocking.py:176-191 searches
+    a faiss index of INDEX objects with CAND queries, where the id
+    equality IS the true match the PC@k metric looks for).
 
     Scale shape: the index (ids + L2-normalized float64 matrix) is
     collected ONCE on the driver (dispatch-capped at ``index_cap`` rows,
@@ -137,7 +143,9 @@ def dense_cosine_topk(
                 S = np.dot(Qc, MT_l, out=sbuf[: len(Qc)])
                 for i in range(len(Qc)):
                     s = S[i]
-                    pos = id_pos.get(qids_all[lo + i])
+                    pos = (
+                        id_pos.get(qids_all[lo + i]) if exclude_self else None
+                    )
                     if pos is not None:
                         s[pos] = -np.inf
                     if B <= m:

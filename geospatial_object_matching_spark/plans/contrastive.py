@@ -43,6 +43,89 @@ from ..operators.render import render_objects_png
 from .matching_quality import blocking_based_pairs, train_test_split_pairs
 
 
+def run_image_blocking(
+    spark: SparkSession,
+    pages: DataFrame,
+    k_list: tuple[int, ...] = (1, 5, 20),
+    dim: int | None = None,
+    embed_seed: int = 7,
+    index_cap: int = 2_000_000,
+) -> DataFrame:
+    """S8 image-embedding blocking + PC@k — the reference's ViT/CLIP
+    blocking path (`blocking.py:176-191` ``_run_vit``: CLIP embeddings of
+    cands and index → ``faiss.IndexFlatIP`` → top-``nn_param`` neighbors
+    per cand) scored with its blocking-recall metric
+    (`pipelines.py:386`: pos pairs where ``cand_ind == nn_ind`` over the
+    cands∩index entity set — PC@k, TR Tables 3/4).
+
+    Spark-first shape: render (S7) and encode (S8 stand-in) run scan-side
+    in one ``mapInPandas`` pass (blobs never shuffle); the IndexFlatIP
+    search is :func:`~..operators.similarity.dense_cosine_topk` with
+    ``exclude_self=False`` (our embeddings are L2-normalized, so inner
+    product == cosine; the id-equal index row IS the true match) — the
+    index matrix broadcasts once and each query partition does one BLAS
+    GEMM, |Q|·|B|·d FLOPs with no pair shuffle; PC@k reduces the hit
+    ranks (≤1 per cand — index ids are unique) against each k in
+    ``k_list``, a tiny JVM aggregate.
+
+    Returns one row per k: ``(k, n_hits, n_intersection, pc)`` with
+    ``pc = round(n_hits / n_intersection, 3)`` (the reference rounds its
+    blocking recall to 3 decimals)."""
+    from ..operators.similarity import dense_cosine_topk
+
+    objects = extract_objects(pages).select(
+        F.concat_ws("|", "source", "obj_id").alias("objkey"),
+        "coords",
+        "ring_offsets",
+    )
+    emb = (
+        image_embeddings(
+            render_objects_png(objects, id_col="objkey"),
+            dim=dim,
+            seed=embed_seed,
+        )
+        .select(
+            F.split("obj_id", "\\|").getItem(0).alias("src"),
+            F.split("obj_id", "\\|").getItem(1).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    cand_emb = emb.filter(F.col("src") == "cands").select("vec_id", "embedding")
+    index_emb = emb.filter(F.col("src") == "index").select(
+        "vec_id", "embedding"
+    )
+    n_inter = (
+        cand_emb.select("vec_id")
+        .intersect(index_emb.select("vec_id"))
+        .count()
+    )
+    topk = dense_cosine_topk(
+        index_emb,
+        cand_emb,
+        k=max(k_list),
+        exclude_self=False,
+        index_cap=index_cap,
+    )
+    hits = topk.filter(F.col("query_id") == F.col("vec_id")).select(
+        "query_id", "rank"
+    )
+    ks = spark.createDataFrame([(int(k),) for k in k_list], "k int")
+    res = (
+        ks.join(hits, F.col("rank") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("query_id").alias("n_hits"))
+        .select(
+            "k",
+            "n_hits",
+            F.lit(n_inter).alias("n_intersection"),
+            F.round(F.col("n_hits") / F.lit(n_inter), 3).alias("pc"),
+        )
+        .orderBy("k")
+    )
+    return res
+
+
 def run_contrastive_matching(
     spark: SparkSession,
     pages: DataFrame,

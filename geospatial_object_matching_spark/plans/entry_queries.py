@@ -1091,6 +1091,24 @@ def q_render_features(spark, sf_dir):
     )
 
 
+def q_geo_image_blocking(spark, sf_dir):
+    """S8 image-embedding blocking + PC@k (reference blocking.py:176-191
+    ``_run_vit``: CLIP embeddings → faiss.IndexFlatIP top-k per cand;
+    recall metric pipelines.py:386, TR Tables 3/4): extract → RENDER SPEC
+    v1 rasterizer → deterministic encoder → dense broadcast-GEMM IP top-k
+    (exclude_self=False — the id-equal row IS the true match) → one
+    (k, n_hits, n_intersection, pc) row per k. The oracle
+    scalar-reimplements raster → encoder → brute-force IP rank of the
+    true match from the documented specs (tools/gen_expected.py::
+    expected_image_blocking, no engine imports), so a broken rasterizer,
+    encoder, or top-k kernel goes red."""
+    from ..plans.contrastive import run_image_blocking
+
+    return run_image_blocking(
+        spark, _geo_pages(spark, sf_dir), k_list=(1, 5, 20)
+    )
+
+
 def q_contrastive_quality(spark, sf_dir):
     """M5 contrastive image-matching lifecycle (reference
     contrastive_training_matching_with contamination.py:27-151
@@ -1284,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_centroid_knn": q_geo_centroid_knn,
     "geo_matching_quality": q_geo_matching_quality,
     "contrastive_quality": q_contrastive_quality,
+    "geo_image_blocking": q_geo_image_blocking,
     "media_features": q_media_features,
     "image_features": q_image_features,
     "render_features": q_render_features,
@@ -1432,6 +1451,9 @@ ORACLE_SQL.update(
         ),
         "render_features": _expected_sql(
             "render_features", ["obj_key", "n_bytes", "bin", "value"]
+        ),
+        "geo_image_blocking": _expected_sql(
+            "geo_image_blocking", ["k", "n_hits", "n_intersection", "pc"]
         ),
         "geo_partitions": _expected_sql(
             "geo_partitions", ["split", "size", "key", "n_rows", "n_pos"]

@@ -102,6 +102,79 @@ class TestPairDiffFeatures:
             ), (ci, ii)
 
 
+class TestImageBlocking:
+    """S8 image-embedding blocking + PC@k (plans/contrastive.py::
+    run_image_blocking — reference blocking.py:176-191 ``_run_vit`` +
+    pipelines.py:386 blocking recall)."""
+
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        return generate_pages_df(spark, 60, seed=42).persist()
+
+    @pytest.fixture(scope="class")
+    def result(self, spark, pages):
+        from geospatial_object_matching_spark.plans.contrastive import (
+            run_image_blocking,
+        )
+
+        return run_image_blocking(spark, pages).toPandas()
+
+    def test_matches_independent_oracle(self, result, pages):
+        """Engine PC@k rows == tools/gen_expected.expected_image_blocking
+        (scalar raster → scalar encoder → brute-force IP rank, no engine
+        imports) on the same pages."""
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(__file__), "..", "tools"),
+        )
+        import gen_expected as GE
+        from oracle.reference_oracle import object_dicts_from_pages
+
+        objs = object_dicts_from_pages(pages.toPandas())
+        exp = GE.expected_image_blocking(objs)
+        got = result.sort_values("k").reset_index(drop=True)
+        exp = exp.sort_values("k").reset_index(drop=True)
+        assert list(got["k"]) == list(exp["k"])
+        assert list(got["n_hits"]) == list(exp["n_hits"])
+        assert list(got["n_intersection"]) == list(exp["n_intersection"])
+        assert np.allclose(got["pc"], exp["pc"])
+
+    def test_monotone_and_bounded(self, result):
+        r = result.sort_values("k")
+        assert (r["n_hits"].diff().dropna() >= 0).all()
+        assert (r["n_hits"] <= r["n_intersection"]).all()
+        assert (r["pc"] >= 0).all() and (r["pc"] <= 1).all()
+
+    def test_oracle_flips_on_global_only_encoder_bug(
+        self, spark, pages, result, monkeypatch
+    ):
+        """Injected bug: an encoder that zeroes the tile means (the
+        global-histogram-only form the tile grid exists to beat). PC@1
+        collapses (measured 0.755 → 0.347 at this fixture size), so the
+        independent oracle catches a silently-degraded encoder, not just
+        a crashed one."""
+        import geospatial_object_matching_spark.operators.contrastive as OC
+        from geospatial_object_matching_spark.operators.multimodal import (
+            _pixel_features,
+        )
+        from geospatial_object_matching_spark.plans.contrastive import (
+            run_image_blocking,
+        )
+
+        def global_only(img):
+            base = _pixel_features(img) * OC.feature_scale(64)
+            v = np.concatenate([base, 0.0 * OC._tile_means(img)])
+            n = np.linalg.norm(v)
+            return v / (n if n else 1.0)
+
+        monkeypatch.setattr(OC, "encode_image", global_only)
+        bad = run_image_blocking(spark, pages).toPandas()
+        assert not result.equals(bad)
+
+
 class TestLifecycle:
     @pytest.fixture(scope="class")
     def result(self, spark):

@@ -182,6 +182,22 @@ class TestCosine:
         assert list(out["rank"]) == list(range(1, 11))
         assert (out["cosine"] > 0.999999).all()
 
+    def test_dense_exclude_self_false_keeps_true_match(self, emb):
+        """Cross-table blocking form: with exclude_self=False the
+        id-equal index row stays in and ranks first (cosine 1.0 with
+        itself) — the PC@k true-match semantics."""
+        df, _ = emb
+        out = (
+            SIM.dense_cosine_topk(
+                df, df.filter(F.col("vec_id") < 5), k=3, exclude_self=False
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        top1 = out[out["rank"] == 1]
+        assert list(top1["vec_id"]) == list(top1["query_id"])
+        assert (top1["cosine"] > 0.999999).all()
+
     def test_dense_index_cap_raises(self, spark):
         df = spark.createDataFrame(
             [(i, [float(i), 1.0]) for i in range(10)],

@@ -71,6 +71,7 @@ TIER = {
     "geo_tiles": "independent",
     "geo_partitions": "independent",
     "render_features": "independent",
+    "geo_image_blocking": "independent",
     # still golden: learned-model outputs only (blocking_fi,
     # matching_quality, contrastive_quality) — their independent signal
     # lives in pytest (determinism, separability, injected-bug flips)
@@ -749,14 +750,13 @@ def expected_image_features(n: int, seed: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"bin": "int32", "n_bytes": "int64"})
 
 
-def _render_feature_rows(key: str, mesh) -> list[dict]:
-    """Worker: one object → 64 feature rows. Scalar reimplementation of
-    RENDER SPEC v1 (operators/render.py docstring — keep in sync BY
-    SPEC, no engine imports), the PNG container arithmetic
-    (functions/png.py: sig 8 + IHDR 25 + IDAT 12+len(zlib level 6,
-    filter-0 scanlines) + IEND 12 bytes), and the pixel-feature formula
-    (operators/multimodal.py). Integer geometry after the snap makes the
-    raster bit-exact; stdlib zlib makes the byte length bit-exact."""
+def _render_img_s(mesh):
+    """Scalar reimplementation of RENDER SPEC v1 (operators/render.py
+    docstring — keep in sync BY SPEC, no engine imports) plus the PNG
+    container arithmetic (functions/png.py: sig 8 + IHDR 25 + IDAT
+    12+len(zlib level 6, filter-0 scanlines) + IEND 12 bytes). Integer
+    geometry after the snap makes the raster bit-exact; stdlib zlib makes
+    the byte length bit-exact. Returns (img nested list SxSx3, n_bytes)."""
     import zlib
 
     S, m = 48, 2
@@ -828,7 +828,15 @@ def _render_feature_rows(key: str, mesh) -> list[dict]:
         for p in row:
             raw += bytes(p)
     n_bytes = 8 + 25 + (12 + len(zlib.compress(bytes(raw), 6))) + 12
+    return img, n_bytes
 
+
+def _pixel_feats_s(img) -> list[float]:
+    """Scalar reimplementation of the 64-dim pixel-feature formula
+    (operators/multimodal.py::_pixel_features docstring) for a square
+    raster. All accumulations are exact Python ints, so values are
+    bit-identical to any correct implementation."""
+    S = len(img)
     npx = S * S
     feats = [0.0] * 64
     hist = [[0] * 16 for _ in range(3)]
@@ -853,6 +861,14 @@ def _render_feature_rows(key: str, mesh) -> list[dict]:
     feats[58] = float(S)
     feats[59] = float(S)
     feats[60] = S / S
+    return feats
+
+
+def _render_feature_rows(key: str, mesh) -> list[dict]:
+    """Worker: one object → 64 feature rows (scalar raster + container
+    arithmetic + scalar pixel features, no engine imports)."""
+    img, n_bytes = _render_img_s(mesh)
+    feats = _pixel_feats_s(img)
     return [
         {
             "obj_key": key,
@@ -862,6 +878,80 @@ def _render_feature_rows(key: str, mesh) -> list[dict]:
         }
         for bi, v in enumerate(feats)
     ]
+
+
+def _embed_rows(src: str, oid: str, mesh) -> tuple[str, str, np.ndarray]:
+    """Worker: one object → its image embedding, recomputed from the
+    documented encoder spec (operators/contrastive.py::encode_image —
+    keep in sync BY SPEC, no engine imports): scalar raster → scalar
+    64-dim pixel features × the fixed per-component scale (indices
+    48..57 /255, 58..59 /48) ++ 6×6 grayscale tile means (gray =
+    channel mean, block boundaries (i*S)//t) → L2 normalize. The raster
+    and the 64 base features are integer-exact; the tile means divide
+    exact integer-valued float sums, so embeddings match any correct
+    implementation to the last ulp."""
+    img, _ = _render_img_s(mesh)
+    feats = _pixel_feats_s(img)
+    scale = [1.0] * 64
+    for i in range(48, 58):
+        scale[i] = 1.0 / 255.0
+    for i in range(58, 60):
+        scale[i] = 1.0 / 48.0
+    base = [f * s for f, s in zip(feats, scale)]
+    t = 6
+    g = np.array(img, dtype=np.float64).mean(axis=2)
+    S = g.shape[0]
+    bounds = [(i * S) // t for i in range(t + 1)]
+    tiles = []
+    for a in range(t):
+        for b in range(t):
+            blk = g[bounds[a] : bounds[a + 1], bounds[b] : bounds[b + 1]]
+            tiles.append(blk.mean() / 255.0 if blk.size else 0.0)
+    v = np.array(base + tiles, dtype=np.float64)
+    n = np.linalg.norm(v)
+    return src, oid, v / (n if n else 1.0)
+
+
+def expected_image_blocking(objs, k_list=(1, 5, 20), workers: int = 16):
+    """Independent oracle for the S8 image-blocking path (reference
+    blocking.py:176-191 + pipelines.py:386): embeddings for every object
+    from the spec chain above, then a brute-force inner-product rank of
+    each cand's TRUE match (count of strictly-better index rows under
+    the engine's (-score, id asc) order — no sort, no top-k kernel) and
+    PC@k = round(hits / |cands ∩ index|, 3) per k."""
+    items = [
+        (t, oid, rec["mesh"])
+        for t in ("cands", "index")
+        for oid, rec in objs[t].items()
+    ]
+    with Pool(workers) as pool:
+        results = pool.starmap(_embed_rows, items, chunksize=8)
+    cands = {oid: v for src, oid, v in results if src == "cands"}
+    index = {oid: v for src, oid, v in results if src == "index"}
+    i_ids = np.array(sorted(index.keys()))
+    I = np.stack([index[i] for i in i_ids])
+    inter = sorted(set(cands) & set(index))
+    ranks = {}
+    for c in inter:
+        d = cands[c] @ I.T
+        dt = d[np.nonzero(i_ids == c)[0][0]]
+        better = int(np.sum((d > dt) | ((d == dt) & (i_ids < c))))
+        ranks[c] = 1 + better
+    n_inter = len(inter)
+    rows = [
+        {
+            "k": np.int32(k),
+            "n_hits": np.int64(sum(1 for c in inter if ranks[c] <= k)),
+            "n_intersection": np.int32(n_inter),
+            "pc": spark_round(
+                sum(1 for c in inter if ranks[c] <= k) / n_inter, 3
+            ),
+        }
+        for k in k_list
+    ]
+    return pd.DataFrame(rows).astype(
+        {"k": "int32", "n_hits": "int64", "n_intersection": "int32"}
+    )
 
 
 def expected_render_features(objs, workers: int = 16) -> pd.DataFrame:
@@ -1191,6 +1281,9 @@ def main() -> None:
         )
         acc.setdefault("render_features", []).append(
             tag(expected_render_features(objs))
+        )
+        acc.setdefault("geo_image_blocking", []).append(
+            tag(expected_image_blocking(objs))
         )
         acc.setdefault("geo_pip", []).append(tag(expected_geo_pip(objs)))
 
