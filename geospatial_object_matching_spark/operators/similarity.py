@@ -62,6 +62,16 @@ def cosine_topk(
     )
 
 
+# per-WORKER-PROCESS cache of the deserialized dense index (+ derived
+# structures): PySpark re-unpickles Broadcast.value on every TASK, which
+# at the 2M-row cap costs seconds per task and dominated the scan
+# (measured, tools/dense_bench.py). Worker processes are reused across
+# tasks (spark.python.worker.reuse default), so module state survives.
+# Single-entry: a new invocation evicts the previous index.
+_DENSE_IDX_CACHE: dict = {}
+_DENSE_IDX_SEQ = __import__("itertools").count()
+
+
 def dense_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -70,6 +80,8 @@ def dense_cosine_topk(
     vec_col: str = "embedding",
     index_cap: int = 2_000_000,
     exclude_self: bool = True,
+    repartition_queries: bool = True,
+    _block_cells: int = 8_000_000,
 ) -> DataFrame:
     """Exact top-k by cosine via a broadcast dense index matrix + one BLAS
     GEMM per Arrow batch + argpartition — the flat-inner-product index
@@ -85,12 +97,16 @@ def dense_cosine_topk(
     Scale shape: the index (ids + L2-normalized float64 matrix) is
     collected ONCE on the driver (dispatch-capped at ``index_cap`` rows,
     the same pattern as ``knn_join_broadcast``) and broadcast to
-    executors; each query partition streams ``Q_unit @ M.T`` through a
-    reused GEMM buffer and keeps k rows per query — |Q|·|B|·d FLOPs
-    inside BLAS instead of |Q|·|B| shuffled rows through a rank window.
-    Past the cap, use :func:`lsh_cosine_topk` / :func:`ivf_cosine_topk`
-    (approximate) or shard the index and merge per-query top-k (the
-    ``knn_join_range`` pattern).
+    executors; each query partition runs a FAISS-style blocked flat
+    scan — per 1024-query chunk the index matrix streams from DRAM
+    exactly once in ~8M-cell GEMM blocks while a per-query top-m
+    candidate pool accumulates, then one vectorized (-score, id) sort
+    finishes the chunk — |Q|·|B|·d FLOPs inside BLAS instead of |Q|·|B|
+    shuffled rows through a rank window, with an exact-tie fallback
+    (full dgemv re-derivation) for rows whose kth score ties a block
+    cut. Past the cap, use :func:`lsh_cosine_topk` /
+    :func:`ivf_cosine_topk` (approximate) or shard the index and merge
+    per-query top-k (the ``knn_join_range`` pattern).
 
     Semantics note: zero-norm vectors get cosine 0.0 against everything
     (the crossJoin form yields NaN there); identical on any input
@@ -106,13 +122,16 @@ def dense_cosine_topk(
             "lsh_cosine_topk/ivf_cosine_topk or a sharded exact merge"
         )
     idx_pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids = idx_pdf[id_col].tolist()
-    M = np.array(idx_pdf[vec_col].tolist(), dtype=np.float64)
+    ids_b = np.asarray(idx_pdf[id_col])
+    # Arrow toPandas yields one ndarray per row — stack, don't tolist()
+    # (tolist materializes |B|·d Python floats; measured seconds-to-
+    # minutes at the 2M-row cap)
+    M = np.stack(idx_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
     nrm = np.linalg.norm(M, axis=1, keepdims=True)
     M = np.where(nrm > 0, M / np.where(nrm == 0, 1.0, nrm), 0.0)
-    MT = np.ascontiguousarray(M.T)  # (d, B) — clean GEMM operand
+    M = np.ascontiguousarray(M)  # (B, d) row-major; GEMM takes M[lo:hi].T
     spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast((ids, MT))
+    bc = spark.sparkContext.broadcast((ids_b, M))
 
     q_id_type = queries.schema[id_col].dataType
     b_id_type = embeddings.schema[id_col].dataType
@@ -125,60 +144,169 @@ def dense_cosine_topk(
         ]
     )
 
+    cache_key = next(_DENSE_IDX_SEQ)
+
     def gen(batches):
-        ids_l, MT_l = bc.value
-        B = MT_l.shape[1]
-        id_pos = {v: i for i, v in enumerate(ids_l)}
+        cached = _DENSE_IDX_CACHE.get(cache_key)
+        if cached is None:
+            ids_arr, M_l = bc.value
+            B = M_l.shape[0]
+            # tie-break key: rank of each index id in ascending id order
+            # — integer compares instead of repeated string compares
+            id_rank = np.empty(B, dtype=np.int64)
+            id_rank[np.argsort(ids_arr, kind="stable")] = np.arange(B)
+            id_pos = (
+                {v: i for i, v in enumerate(ids_arr)} if exclude_self else {}
+            )
+            _DENSE_IDX_CACHE.clear()
+            _DENSE_IDX_CACHE[cache_key] = (ids_arr, M_l, id_rank, id_pos)
+        else:
+            ids_arr, M_l, id_rank, id_pos = cached
+            B = M_l.shape[0]
         m = min(B, k + 8)
-        rows_per = max(1, 32_000_000 // max(B, 1))
-        sbuf = np.empty((rows_per, B), dtype=np.float64)
+        kk = min(k, m)
         for pdf in batches:
-            qids_all = pdf[id_col].tolist()
-            Q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if not len(pdf):
+                continue
+            qids_all = pdf[id_col].to_numpy()
+            Q = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
             qn = np.linalg.norm(Q, axis=1, keepdims=True)
             Q = np.where(qn > 0, Q / np.where(qn == 0, 1.0, qn), 0.0)
-            out_q, out_v, out_r, out_c = [], [], [], []
+            frames = []
+            rows_per = 1024
             for lo in range(0, len(Q), rows_per):
                 Qc = np.ascontiguousarray(Q[lo : lo + rows_per])
-                S = np.dot(Qc, MT_l, out=sbuf[: len(Qc)])
-                for i in range(len(Qc)):
-                    s = S[i]
-                    pos = (
-                        id_pos.get(qids_all[lo + i]) if exclude_self else None
+                R = len(Qc)
+                qid_chunk = qids_all[lo : lo + R]
+                if exclude_self:
+                    pos = np.fromiter(
+                        (id_pos.get(q, -1) for q in qid_chunk),
+                        dtype=np.int64,
+                        count=R,
                     )
-                    if pos is not None:
-                        s[pos] = -np.inf
-                    if B <= m:
-                        cand = list(range(B))
+                else:
+                    pos = np.full(R, -1, dtype=np.int64)
+                rsel = np.arange(R)
+                # FAISS-style blocked flat scan: stream the index matrix
+                # ONCE per query chunk in Bc-column blocks, keeping a
+                # per-query running top-m candidate pool — DRAM traffic
+                # is |M| per chunk instead of |M| per tiny GEMM slice
+                Bc = max(m + 1, _block_cells // max(R, 1))
+                pool_sc = None
+                pool_idx = None
+                thr = None  # per-query m-th-best so far (selection cut)
+                cutmax = np.full(R, -np.inf)
+                sbuf = np.empty((R, min(Bc, B)), dtype=np.float64)
+                for b0 in range(0, B, Bc):
+                    hi = min(B, b0 + Bc)
+                    if hi - b0 == sbuf.shape[1]:
+                        S_b = np.dot(Qc, M_l[b0:hi].T, out=sbuf)
                     else:
-                        cand = np.argpartition(-s, m - 1)[:m].tolist()
-                    cand.sort(key=lambda j: (-s[j], ids_l[j]))
-                    top = cand[: min(k, len(cand))]
-                    # exact tie boundary: if the kth kept score equals the
-                    # worst candidate score, ties may straddle the
-                    # argpartition cut — re-derive candidates from >= kth
-                    if len(cand) > len(top) and B > m:
-                        kth = s[top[-1]]
-                        if kth <= min(s[j] for j in cand):
-                            cand = np.nonzero(s >= kth)[0].tolist()
-                            cand.sort(key=lambda j: (-s[j], ids_l[j]))
-                            top = cand[: min(k, len(cand))]
-                    n_keep = sum(1 for j in top if s[j] > -np.inf)
-                    top = top[:n_keep]
-                    out_q.extend([qids_all[lo + i]] * len(top))
-                    out_v.extend(ids_l[j] for j in top)
-                    out_r.extend(range(1, len(top) + 1))
-                    out_c.extend(float(s[j]) for j in top)
-            yield pd.DataFrame(
-                {
-                    "query_id": out_q,
-                    "vec_id": out_v,
-                    "rank": pd.array(out_r, dtype="int32"),
-                    "cosine": pd.array(out_c, dtype="float64"),
-                }
-            )
+                        S_b = Qc @ M_l[b0:hi].T
+                    inblk = (pos >= b0) & (pos < hi)
+                    if inblk.any():
+                        S_b[rsel[inblk], pos[inblk] - b0] = -np.inf
+                    bc_n = hi - b0
+                    if pool_sc is None:
+                        # first block seeds the pool (and the threshold,
+                        # when more blocks follow)
+                        if bc_n > m:
+                            sel = np.argpartition(
+                                S_b, bc_n - m, axis=1
+                            )[:, -m:]
+                            pool_sc = np.take_along_axis(S_b, sel, axis=1)
+                            pool_idx = sel + b0
+                            thr = pool_sc.min(axis=1)
+                            cutmax = np.maximum(cutmax, thr)
+                        else:
+                            pool_sc = S_b.copy()
+                            pool_idx = np.broadcast_to(
+                                np.arange(b0, hi), (R, bc_n)
+                            ).copy()
+                        continue
+                    # later blocks: cheap row-max test against the
+                    # running m-th-best threshold; only rows (and only
+                    # elements) STRICTLY above it can change the top-m.
+                    # Dropped elements are <= thr <= final thr, so the
+                    # exact-tie fallback below covers cut boundary ties —
+                    # the argpartition-per-block this replaces was ~6x
+                    # the GEMM cost (tools/dense_bench.py)
+                    bmax = S_b.max(axis=1)
+                    for i in np.nonzero(bmax > thr)[0]:
+                        cm = np.nonzero(S_b[i] > thr[i])[0]
+                        cs = np.concatenate([pool_sc[i], S_b[i, cm]])
+                        ci = np.concatenate([pool_idx[i], cm + b0])
+                        if len(cs) > m:
+                            sel = np.argpartition(cs, len(cs) - m)[-m:]
+                            cs = cs[sel]
+                            ci = ci[sel]
+                        pool_sc[i] = cs
+                        pool_idx[i] = ci
+                        thr[i] = cs.min()
+                    cutmax = np.maximum(cutmax, thr)
+                # exact (-score, id asc) order: pre-sort the pool by id
+                # rank, then a STABLE sort by -score keeps id-ascending
+                # order among equal scores
+                order = np.argsort(id_rank[pool_idx], axis=1, kind="stable")
+                pool_idx = np.take_along_axis(pool_idx, order, axis=1)
+                pool_sc = np.take_along_axis(pool_sc, order, axis=1)
+                order = np.argsort(-pool_sc, axis=1, kind="stable")
+                pool_idx = np.take_along_axis(pool_idx, order, axis=1)
+                pool_sc = np.take_along_axis(pool_sc, order, axis=1)
+                top_idx = np.ascontiguousarray(pool_idx[:, :kk])
+                top_sc = np.ascontiguousarray(pool_sc[:, :kk])
+                # exact tie boundary: a row whose kth kept score ties any
+                # block/merge cut may have lost smaller-id ties to the
+                # cut — re-derive from the full score vector (one dgemv;
+                # rare outside adversarial all-tied inputs)
+                if kk == k and B > m:
+                    kth = top_sc[:, -1]
+                    for i in np.nonzero((kth <= cutmax) & (kth > -np.inf))[
+                        0
+                    ]:
+                        s = M_l @ Qc[i]
+                        if pos[i] >= 0:
+                            s[pos[i]] = -np.inf
+                        cand = np.nonzero(s >= kth[i])[0]
+                        cand = cand[np.argsort(id_rank[cand], kind="stable")]
+                        cand = cand[np.argsort(-s[cand], kind="stable")][
+                            :kk
+                        ]
+                        top_idx[i] = cand
+                        top_sc[i] = s[cand]
+                keep = top_sc > -np.inf
+                counts = keep.sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qid_chunk, counts),
+                            "vec_id": ids_arr[top_idx[keep]],
+                            "rank": pd.array(
+                                np.tile(np.arange(1, kk + 1), (R, 1))[keep],
+                                dtype="int32",
+                            ),
+                            "cosine": pd.array(
+                                top_sc[keep], dtype="float64"
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    q = queries.select(id_col, vec_col)
+    if repartition_queries:
+        # per-query work is |B|·d FLOPs — orders of magnitude above the
+        # cost of shuffling the query row — so spread queries across 4x
+        # parallelism tasks regardless of how the caller's frame is
+        # partitioned (a filtered range input can land every query in ONE
+        # partition and serialize the whole scan; measured at |B|=1M,
+        # tools/dense_bench.py). 2x parallelism: enough granularity to
+        # smooth stragglers without multiplying per-task setup
+        q = q.repartition(2 * spark.sparkContext.defaultParallelism)
+    return q.mapInPandas(gen, out_schema)
 
 
 def _projection_matrix(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -107,14 +107,19 @@ def run_image_blocking(
         exclude_self=False,
         index_cap=index_cap,
     )
-    hits = topk.filter(F.col("query_id") == F.col("vec_id")).select(
-        "query_id", "rank"
+    # reduce hits to a ≤max(k_list)-row rank histogram BEFORE the k join:
+    # the only shuffle in the whole query moves ≤k_max rows, and the
+    # range join is a broadcast of that histogram — scale-independent
+    rank_hist = (
+        topk.filter(F.col("query_id") == F.col("vec_id"))
+        .groupBy("rank")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     ks = spark.createDataFrame([(int(k),) for k in k_list], "k int")
     res = (
-        ks.join(hits, F.col("rank") <= F.col("k"), "left")
+        ks.join(rank_hist, F.col("rank") <= F.col("k"), "left")
         .groupBy("k")
-        .agg(F.count("query_id").alias("n_hits"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_hits"))
         .select(
             "k",
             "n_hits",

@@ -52,6 +52,10 @@ def get_spark(
         # deployments size executors independently; this only affects the
         # local driver JVM.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # the dispatch-capped driver-collect kernels (knn_join_broadcast,
+        # dense_cosine_topk) legitimately collect up to their row caps —
+        # a 2M x 100-dim float64 index is ~1.6 GB, over the 1g default
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")

@@ -182,6 +182,33 @@ class TestCosine:
         assert list(out["rank"]) == list(range(1, 11))
         assert (out["cosine"] > 0.999999).all()
 
+    def test_dense_blocked_scan_tie_exactness(self, spark):
+        """Force the multi-block path (tiny _block_cells) on an
+        adversarial all-tied index: block cuts drop boundary ties, so
+        the exact-tie fallback must re-derive and still return the
+        smallest ids in id order — and match the single-block answer."""
+        base = [1.0, 2.0, 3.0, 4.0]
+        rows = [(i, base) for i in range(200)] + [
+            (500 + i, [4.0, 3.0, 2.0, 1.0]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id").isin(5, 501))
+        blocked = (
+            SIM.dense_cosine_topk(df, q, k=10, _block_cells=64)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        single = (
+            SIM.dense_cosine_topk(df, q, k=10)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(blocked, single)
+        got5 = blocked[blocked["query_id"] == 5]
+        assert list(got5["vec_id"]) == [0, 1, 2, 3, 4, 6, 7, 8, 9, 10]
+
     def test_dense_exclude_self_false_keeps_true_match(self, emb):
         """Cross-table blocking form: with exclude_self=False the
         id-equal index row stays in and ranks first (cosine 1.0 with
