@@ -309,6 +309,181 @@ def dense_cosine_topk(
     return q.mapInPandas(gen, out_schema)
 
 
+def dense_cosine_topk_bigindex(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 200_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k with the broadcast side INVERTED: the bounded
+    QUERY batch is collected and broadcast (``query_cap`` rows), and the
+    index — arbitrarily large, never collected — streams through each of
+    its partitions exactly once. Per partition the same threshold-
+    filtered BLAS scan as :func:`dense_cosine_topk` keeps each query's
+    local top-k under the exact (-cosine, id asc) total order; a final
+    rank window merges the ≤ |Q|·k·n_partitions partial rows (Spark's
+    WindowGroupLimit prunes each map side to k per query before the
+    shuffle). This is the exact path PAST the 2M-row index cap of
+    :func:`dense_cosine_topk`: the scan is embarrassingly parallel in
+    index partitions, state per task is O(|Q|·k), and nothing grows with
+    |B| except pure FLOPs. Reference analog: `blocking.py:176-191` runs
+    faiss.IndexFlatIP single-node; this is the shape that survives a
+    1000-executor corpus.
+
+    Output contract identical to :func:`dense_cosine_topk`:
+    ``(query_id, vec_id, rank, cosine)``, rank by cosine desc, ties by
+    vec_id asc, self-matches excluded when ``exclude_self``; zero-norm
+    vectors get cosine 0.0.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_q = queries.count()
+    if n_q > query_cap:
+        raise ValueError(
+            f"query batch has {n_q} rows > cap {query_cap}; split the "
+            "query set into bounded batches"
+        )
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    qids_b = np.asarray(q_pdf[id_col])
+    Qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+    qn = np.linalg.norm(Qm, axis=1, keepdims=True)
+    Qm = np.where(qn > 0, Qm / np.where(qn == 0, 1.0, qn), 0.0)
+    Qm = np.ascontiguousarray(Qm)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((qids_b, Qm))
+    cache_key = next(_DENSE_IDX_SEQ)
+
+    q_id_type = queries.schema[id_col].dataType
+    b_id_type = embeddings.schema[id_col].dataType
+    part_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_type),
+            T.StructField("vec_id", b_id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        cached = _DENSE_IDX_CACHE.get(cache_key)
+        if cached is None:
+            qids_l, Q = bc.value
+            qpos = (
+                {v: i for i, v in enumerate(qids_l)} if exclude_self else {}
+            )
+            _DENSE_IDX_CACHE.clear()
+            _DENSE_IDX_CACHE[cache_key] = (qids_l, Q, qpos)
+        else:
+            qids_l, Q, qpos = cached
+        Qn = len(qids_l)
+        if Qn == 0:
+            return
+        pool_sc = np.full((Qn, k), -np.inf)
+        pool_id = np.empty((Qn, k), dtype=object)
+        pool_key = np.empty((Qn, k), dtype=object)
+        pool_cnt = np.zeros(Qn, dtype=np.int64)
+        thr = np.full(Qn, -np.inf)  # kth-best so far (-inf until full)
+        first = True
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = np.asarray(pdf[id_col])
+            # tie key in the column's NATURAL order (ints numeric,
+            # strings lexicographic — matching ORDER BY vec_id)
+            bkey = bids.astype(str) if bids.dtype == object else bids
+            M_b = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            bn = np.linalg.norm(M_b, axis=1, keepdims=True)
+            M_b = np.where(bn > 0, M_b / np.where(bn == 0, 1.0, bn), 0.0)
+            bcn = len(bids)
+            blanks = (
+                [
+                    (qpos[b], j)
+                    for j, b in enumerate(bids)
+                    if b in qpos
+                ]
+                if exclude_self
+                else []
+            )
+            qchunk = max(1, 4_000_000 // max(bcn, 1))
+            if first:
+                col_order = np.argsort(bkey, kind="stable")
+                ids_srt = bids[col_order]
+                key_srt = bkey[col_order]
+            for q0 in range(0, Qn, qchunk):
+                hi = min(Qn, q0 + qchunk)
+                S = Q[q0:hi] @ M_b.T
+                for qi, j in blanks:
+                    if q0 <= qi < hi:
+                        S[qi - q0, j] = -np.inf
+                if first:
+                    # vectorized seed: columns pre-sorted by id, then a
+                    # stable row sort by -score = exact total order
+                    Ss = S[:, col_order]
+                    sel = np.argsort(-Ss, axis=1, kind="stable")[:, :k]
+                    kk = sel.shape[1]
+                    pool_sc[q0:hi, :kk] = np.take_along_axis(Ss, sel, axis=1)
+                    pool_id[q0:hi, :kk] = ids_srt[sel]
+                    pool_key[q0:hi, :kk] = key_srt[sel]
+                    pool_cnt[q0:hi] = kk
+                    if kk == k:
+                        thr[q0:hi] = pool_sc[q0:hi, k - 1]
+                else:
+                    bmax = S.max(axis=1)
+                    for i in np.nonzero(bmax >= thr[q0:hi])[0]:
+                        gi = q0 + i
+                        s = S[i]
+                        cand = np.nonzero(s >= thr[gi])[0]
+                        if not len(cand):
+                            continue
+                        c = pool_cnt[gi]
+                        sc = np.concatenate([pool_sc[gi, :c], s[cand]])
+                        ky = np.concatenate(
+                            [pool_key[gi, :c], bkey[cand]]
+                        )
+                        iv = np.concatenate(
+                            [pool_id[gi, :c], bids[cand]]
+                        )
+                        order = np.lexsort((ky, -sc))[:k]
+                        nn = len(order)
+                        pool_sc[gi, :nn] = sc[order]
+                        pool_id[gi, :nn] = iv[order]
+                        pool_key[gi, :nn] = ky[order]
+                        pool_cnt[gi] = nn
+                        if nn == k:
+                            thr[gi] = pool_sc[gi, k - 1]
+            first = False
+        keep = (np.arange(k)[None, :] < pool_cnt[:, None]) & (
+            pool_sc > -np.inf
+        )
+        counts = keep.sum(axis=1)
+        if counts.sum() == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(np.asarray(qids_l), counts),
+                "vec_id": pool_id[keep],
+                "cosine": pd.array(pool_sc[keep], dtype="float64"),
+            }
+        )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        gen, part_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def _projection_matrix(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.normal(0.0, 1.0, (n_planes, dim)).tolist()

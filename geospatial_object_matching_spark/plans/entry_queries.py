@@ -735,6 +735,19 @@ def q_dense_cosine_topk(spark, sf_dir):
     )
 
 
+def q_bigindex_cosine_topk(spark, sf_dir):
+    """Same query as q_cosine_topk through the inverted-broadcast exact
+    kernel (operators/similarity.py::dense_cosine_topk_bigindex — the
+    beyond-2M-index path: bounded query batch broadcast, index streamed,
+    rank-window merge); exact, so it shares SQL_COSINE_TOPK verbatim."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = SIM.dense_cosine_topk_bigindex(e, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = SIM.embedding_near_dup_pairs(e, threshold=0.3, bucket_col="label")
@@ -1288,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
     "dense_cosine_topk": q_dense_cosine_topk,
+    "bigindex_cosine_topk": q_bigindex_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1341,6 +1355,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "dense_cosine_topk": SQL_COSINE_TOPK,
+    "bigindex_cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }
 

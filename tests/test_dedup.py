@@ -225,6 +225,65 @@ class TestCosine:
         assert list(top1["vec_id"]) == list(top1["query_id"])
         assert (top1["cosine"] > 0.999999).all()
 
+    def test_bigindex_equals_dense_multibatch(self, spark):
+        """Inverted-broadcast form == driver-collect form on a 5000-row
+        single-partition index (>1 Arrow batch, so the streamed
+        threshold-merge path runs) with random vectors."""
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(5000, 8))
+        pdf = pd.DataFrame(
+            {"vec_id": range(5000), "embedding": list(vecs)}
+        )
+        df = spark.createDataFrame(pdf).repartition(1)
+        q = df.filter(F.col("vec_id") < 25)
+        a = (
+            SIM.dense_cosine_topk(df, q, k=7)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            SIM.dense_cosine_topk_bigindex(df, q, k=7)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(a["query_id"]) == list(b["query_id"])
+        assert list(a["vec_id"]) == list(b["vec_id"])
+        assert list(a["rank"]) == list(b["rank"])
+        np.testing.assert_allclose(
+            a["cosine"].to_numpy(), b["cosine"].to_numpy(), atol=1e-9
+        )
+
+    def test_bigindex_tie_order_across_partitions(self, spark):
+        """All-duplicate vectors spread over 4 index partitions: the
+        per-partition local top-k must keep smallest ids under ties and
+        the window merge must preserve global (-cosine, id asc) order."""
+        base = [1.0, 2.0, 3.0, 4.0]
+        rows = [(i, base) for i in range(100)] + [
+            (900 + i, [4.0, 3.0, 2.0, 1.0]) for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(4)
+        out = (
+            SIM.dense_cosine_topk_bigindex(
+                df, df.filter(F.col("vec_id") == 7), k=10
+            )
+            .toPandas()
+            .sort_values("rank")
+        )
+        assert list(out["vec_id"]) == [0, 1, 2, 3, 4, 5, 6, 8, 9, 10]
+        assert (out["cosine"] > 0.999999).all()
+
+    def test_bigindex_query_cap_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="cap"):
+            SIM.dense_cosine_topk_bigindex(df, df, k=2, query_cap=5)
+
     def test_dense_index_cap_raises(self, spark):
         df = spark.createDataFrame(
             [(i, [float(i), 1.0]) for i in range(10)],

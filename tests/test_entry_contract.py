@@ -26,7 +26,7 @@ FAST_QUERIES = [
     "sampled_subset", "negative_sampling", "contamination", "knn_window",
     "tumbling_window", "dedup_exact", "token_count", "text_quality",
     "lang_id", "fingerprint", "cosine_topk", "dense_cosine_topk",
-    "embedding_near_dup",
+    "bigindex_cosine_topk", "embedding_near_dup",
 ]
 
 
