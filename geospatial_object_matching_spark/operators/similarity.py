@@ -110,11 +110,15 @@ def dense_cosine_topk(
 
     Semantics note: zero-norm vectors get cosine 0.0 against everything
     (the crossJoin form yields NaN there); identical on any input
-    without zero vectors.
+    without zero vectors. Malformed rows — null embeddings, or vectors
+    whose length differs from the modal index dimensionality — are
+    silently dropped on BOTH sides (the extract-stage convention: one
+    bad document must never kill a whole Arrow batch).
     """
     import pandas as pd
     from pyspark.sql import types as T
 
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     n_index = embeddings.count()
     if n_index > index_cap:
         raise ValueError(
@@ -122,11 +126,19 @@ def dense_cosine_topk(
             "lsh_cosine_topk/ivf_cosine_topk or a sharded exact merge"
         )
     idx_pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids_b = np.asarray(idx_pdf[id_col])
+    vals = idx_pdf[vec_col].to_numpy()
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    d_modal = int(np.bincount(lens).argmax()) if len(lens) else 0
+    ok = lens == d_modal
+    ids_b = np.asarray(idx_pdf[id_col])[ok]
     # Arrow toPandas yields one ndarray per row — stack, don't tolist()
     # (tolist materializes |B|·d Python floats; measured seconds-to-
     # minutes at the 2M-row cap)
-    M = np.stack(idx_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+    M = (
+        np.stack(vals[ok]).astype(np.float64, copy=False)
+        if ok.any()
+        else np.zeros((0, 1), dtype=np.float64)
+    )
     nrm = np.linalg.norm(M, axis=1, keepdims=True)
     M = np.where(nrm > 0, M / np.where(nrm == 0, 1.0, nrm), 0.0)
     M = np.ascontiguousarray(M)  # (B, d) row-major; GEMM takes M[lo:hi].T
@@ -163,15 +175,24 @@ def dense_cosine_topk(
         else:
             ids_arr, M_l, id_rank, id_pos = cached
             B = M_l.shape[0]
+        if B == 0:
+            return
         m = min(B, k + 8)
         kk = min(k, m)
+        d_idx = M_l.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            qids_all = pdf[id_col].to_numpy()
-            Q = np.stack(pdf[vec_col].to_numpy()).astype(
-                np.float64, copy=False
+            qvals = pdf[vec_col].to_numpy()
+            qok = np.fromiter(
+                (v is not None and len(v) == d_idx for v in qvals),
+                dtype=bool,
+                count=len(qvals),
             )
+            if not qok.any():
+                continue
+            qids_all = np.asarray(pdf[id_col])[qok]
+            Q = np.stack(qvals[qok]).astype(np.float64, copy=False)
             qn = np.linalg.norm(Q, axis=1, keepdims=True)
             Q = np.where(qn > 0, Q / np.where(qn == 0, 1.0, qn), 0.0)
             frames = []
@@ -336,11 +357,14 @@ def dense_cosine_topk_bigindex(
     Output contract identical to :func:`dense_cosine_topk`:
     ``(query_id, vec_id, rank, cosine)``, rank by cosine desc, ties by
     vec_id asc, self-matches excluded when ``exclude_self``; zero-norm
-    vectors get cosine 0.0.
+    vectors get cosine 0.0; malformed rows (null embeddings, or vectors
+    whose length differs from the modal query dimensionality) are
+    silently dropped on both sides.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
+    queries = queries.filter(F.col(vec_col).isNotNull())
     n_q = queries.count()
     if n_q > query_cap:
         raise ValueError(
@@ -348,8 +372,18 @@ def dense_cosine_topk_bigindex(
             "query set into bounded batches"
         )
     q_pdf = queries.select(id_col, vec_col).toPandas()
-    qids_b = np.asarray(q_pdf[id_col])
-    Qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+    qvals = q_pdf[vec_col].to_numpy()
+    qlens = np.fromiter(
+        (len(v) for v in qvals), dtype=np.int64, count=len(qvals)
+    )
+    d_modal = int(np.bincount(qlens).argmax()) if len(qlens) else 0
+    qok = qlens == d_modal
+    qids_b = np.asarray(q_pdf[id_col])[qok]
+    Qm = (
+        np.stack(qvals[qok]).astype(np.float64, copy=False)
+        if qok.any()
+        else np.zeros((0, 1), dtype=np.float64)
+    )
     qn = np.linalg.norm(Qm, axis=1, keepdims=True)
     Qm = np.where(qn > 0, Qm / np.where(qn == 0, 1.0, qn), 0.0)
     Qm = np.ascontiguousarray(Qm)
@@ -379,7 +413,7 @@ def dense_cosine_topk_bigindex(
         else:
             qids_l, Q, qpos = cached
         Qn = len(qids_l)
-        if Qn == 0:
+        if Qn == 0 or Q.shape[1] == 0:
             return
         pool_sc = np.full((Qn, k), -np.inf)
         pool_id = np.empty((Qn, k), dtype=object)
@@ -387,16 +421,23 @@ def dense_cosine_topk_bigindex(
         pool_cnt = np.zeros(Qn, dtype=np.int64)
         thr = np.full(Qn, -np.inf)  # kth-best so far (-inf until full)
         first = True
+        d_q = Q.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            bids = np.asarray(pdf[id_col])
+            bvals = pdf[vec_col].to_numpy()
+            bok = np.fromiter(
+                (v is not None and len(v) == d_q for v in bvals),
+                dtype=bool,
+                count=len(bvals),
+            )
+            if not bok.any():
+                continue
+            bids = np.asarray(pdf[id_col])[bok]
             # tie key in the column's NATURAL order (ints numeric,
             # strings lexicographic — matching ORDER BY vec_id)
             bkey = bids.astype(str) if bids.dtype == object else bids
-            M_b = np.stack(pdf[vec_col].to_numpy()).astype(
-                np.float64, copy=False
-            )
+            M_b = np.stack(bvals[bok]).astype(np.float64, copy=False)
             bn = np.linalg.norm(M_b, axis=1, keepdims=True)
             M_b = np.where(bn > 0, M_b / np.where(bn == 0, 1.0, bn), 0.0)
             bcn = len(bids)

@@ -276,6 +276,34 @@ class TestCosine:
         assert list(out["vec_id"]) == [0, 1, 2, 3, 4, 5, 6, 8, 9, 10]
         assert (out["cosine"] > 0.999999).all()
 
+    def test_dense_and_bigindex_drop_malformed_rows(self, spark):
+        """Null embeddings and wrong-length vectors are silently dropped
+        on both sides (the extract-stage convention: one bad document
+        never kills an Arrow batch) — results equal the clean-input
+        run."""
+        rng = np.random.default_rng(9)
+        good = [(i, rng.normal(size=4).tolist()) for i in range(40)]
+        bad = [(100, None), (101, [1.0, 2.0]), (102, [])]
+        schema = "vec_id long, embedding array<double>"
+        clean = spark.createDataFrame(good, schema)
+        dirty = spark.createDataFrame(good + bad, schema)
+        q_clean = clean.filter(F.col("vec_id") < 5)
+        q_dirty = dirty.filter((F.col("vec_id") < 5) | (F.col("vec_id") >= 100))
+        for fn in (SIM.dense_cosine_topk, SIM.dense_cosine_topk_bigindex):
+            a = (
+                fn(clean, q_clean, k=3)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            b = (
+                fn(dirty, q_dirty, k=3)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)
+
     def test_bigindex_query_cap_raises(self, spark):
         df = spark.createDataFrame(
             [(i, [float(i), 1.0]) for i in range(10)],
