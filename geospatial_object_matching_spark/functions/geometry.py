@@ -188,18 +188,53 @@ def convex_hull_2d_perimeter(points: np.ndarray) -> float:
 
 HULL_GRID = 1 << 30
 """Quantization grid for the 3-D hull: vertices are snapped to a relative
-2**-30 grid (centered at the mean of the unique vertices, scaled by the max
-absolute centered coordinate) before the hull is built.  This IS the
-operator's semantic — the hull volume of the snapped points, computed with
-EXACT integer predicates — so the result is deterministic and (up to the
-~1e-9 relative snap) matches ``scipy.spatial.ConvexHull(pts).volume``
-(reference object_properties.py:222-224).  Exactness kills the entire
-epsilon-tuning bug class the previous float hull had (round-2 verdict G8:
-scale-dependent tolerance clamps broke V(s*X) = s^3 V(X) by 23% on
-near-coplanar inputs; coplanar facades are the NORM in building meshes).
+2**-30 grid (centered at the *pitch-snapped* mean of the unique vertices,
+scaled by the max absolute centered coordinate) before the hull is built.
+This IS the operator's semantic — the hull volume of the snapped points,
+computed with EXACT integer predicates — so the result is deterministic and
+(up to the ~1e-9 relative snap) matches
+``scipy.spatial.ConvexHull(pts).volume`` (reference
+object_properties.py:222-224).  Exactness kills the entire epsilon-tuning
+bug class the previous float hull had (round-2 verdict G8: scale-dependent
+tolerance clamps broke V(s*X) = s^3 V(X) by 23% on near-coplanar inputs;
+coplanar facades are the NORM in building meshes).
 The independent test oracle (oracle/reference_oracle.py::hull_3d_volume)
 uses the same documented grid with a brute-force facet-enumeration hull, so
-engine and oracle agree BIT-IDENTICALLY — no float-tolerance blind spot."""
+engine and oracle agree BIT-IDENTICALLY — no float-tolerance blind spot.
+
+Centering spec (round-5 fix for the r4 hypothesis counterexample): the
+centering offset is ``np.rint(mean / pitch) * pitch`` with
+``pitch = 2**(floor(log2(max|coord|)) - 47)`` — an exactly-representable
+multiple of a power of two (the rounded integer is < 2**49, well inside the
+53-bit mantissa).  With the RAW float mean, translating the input by t
+changed the centered coordinates by the mean's own summation error
+(~eps·(|coords|+|t|)), which for large |t|/extent exceeds half a lattice
+cell and snapped points into DIFFERENT cells — hull volume then jittered by
+up to ~cell·sqrt(3)·A_hull under pure translation (hypothesis-pinned
+counterexample: a 58-unit sliver shifted by +1.0 moved 1.18e-6).  Snapping
+the offset to a pitch ~2**5 times larger than that summation error makes
+the offset itself translation-covariant for pitch-multiple shifts, and the
+residual volume jitter under ANY float translation is bounded by the
+Steiner/Hausdorff bound  |dV| <= d·A + O(d²),  d = sqrt(3)·(cell0+cell1) —
+which is exactly the tolerance the property test asserts
+(tests/test_geometry_properties.py::test_hull_volume_translation_invariant).
+Note invariance is *bounded*, not exact: ``p + t`` is itself rounded by the
+caller before the operator ever sees it, so no centering rule can give
+bit-equality for arbitrary float shifts."""
+
+
+def _snap_center(m: np.ndarray, coord_max: float) -> np.ndarray:
+    """Round the centering offset to the documented power-of-two pitch.
+
+    Part of the HULL_GRID quantization spec (see above).  ``coord_max`` is
+    ``max|coords|`` over the unique vertices (> 0, finite).  The result is
+    exact: each component is (integer < 2**49) * 2**e.
+    """
+    e = math.floor(math.log2(coord_max)) - 47
+    if e < -1074:  # keep the pitch a representable denormal
+        e = -1074
+    pitch = math.ldexp(1.0, e)
+    return np.rint(m / pitch) * pitch
 
 
 def quantize_hull_points(points: np.ndarray, assume_unique: bool = False):
@@ -219,7 +254,13 @@ def quantize_hull_points(points: np.ndarray, assume_unique: bool = False):
         pts = np.unique(pts, axis=0)
     if len(pts) < 4:
         return None, 0.0
-    pts = pts - pts.mean(axis=0)
+    coord_max = float(np.abs(pts).max())
+    if not (coord_max > 0.0 and np.isfinite(coord_max)):
+        return None, 0.0
+    m = pts.mean(axis=0)
+    if not np.all(np.isfinite(m)):
+        return None, 0.0
+    pts = pts - _snap_center(m, coord_max)
     scale = float(np.abs(pts).max())
     if not (scale > 0.0 and np.isfinite(scale)):
         return None, 0.0

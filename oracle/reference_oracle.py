@@ -156,15 +156,27 @@ def _hull_quantize(points):
     """Snap unique vertices to the documented 2**-30 relative lattice.
 
     Same spec as the engine's ``quantize_hull_points`` (the snap IS part of
-    the ``convex_hull_volume`` semantics): unique -> mean-center -> divide by
-    max |coord| -> rint to the 2^30 grid -> unique.  Duplicated here (not
-    imported) so the oracle stays implementation-independent; identical
-    numpy calls give a bit-identical lattice.
+    the ``convex_hull_volume`` semantics): unique -> center on the
+    PITCH-SNAPPED mean (offset rounded to the nearest multiple of
+    ``2**(floor(log2(max|coord|)) - 47)`` — exactly representable, so the
+    centering commutes with pitch-multiple translations; see the engine's
+    HULL_GRID docstring for the round-5 rationale) -> divide by max |coord|
+    -> rint to the 2^30 grid -> unique.  Duplicated here (not imported) so
+    the oracle stays implementation-independent; identical numpy calls give
+    a bit-identical lattice.
     """
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     if len(pts) < 4:
         return None, 0.0
-    pts = pts - pts.mean(axis=0)
+    coord_max = float(np.abs(pts).max())
+    if not (coord_max > 0.0 and np.isfinite(coord_max)):
+        return None, 0.0
+    m = pts.mean(axis=0)
+    if not np.all(np.isfinite(m)):
+        return None, 0.0
+    e = max(math.floor(math.log2(coord_max)) - 47, -1074)
+    pitch = math.ldexp(1.0, e)
+    pts = pts - np.rint(m / pitch) * pitch
     scale = float(np.abs(pts).max())
     if not (scale > 0.0 and np.isfinite(scale)):
         return None, 0.0
