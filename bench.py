@@ -120,7 +120,7 @@ def main() -> None:
         # the reference's image-blocking baseline spends 176.75 s (ViT-
         # B/32, Hague) on the same shape (BASELINE.md / TR Table 3)
         "geo_image_blocking",
-        "text_quality",
+        "text_scores",
         "tumbling_window",
     ):
         t, _ = timed_count(lambda: EQ.QUERIES[name](spark, sf_dir))

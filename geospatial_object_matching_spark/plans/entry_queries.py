@@ -569,13 +569,20 @@ FROM documents
 """
 
 
-def q_text_quality(spark, sf_dir):
+def q_text_scores(spark, sf_dir):
+    """Per-document text-analysis scores in ONE scan: quality heuristics
+    (punct ratio / mean token length / composite score) plus the n-gram
+    language-ID prediction.  Merged from the former ``text_quality`` and
+    ``lang_id`` queries (round 5) so the full driver surface fits the
+    50-query correctness budget — both operators keep their own SQL
+    oracle, joined on doc_id."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(TX.mean_token_len(F.col("text")), 6).alias("mean_token_len"),
         F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
     )
 
 
@@ -596,11 +603,6 @@ SELECT doc_id,
              6) AS quality
 FROM base
 """
-
-
-def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def _sql_lang_score(lang_markers):
@@ -630,6 +632,12 @@ SELECT doc_id,
             ELSE 'nl' END AS lang_pred
 FROM s
 """
+
+SQL_TEXT_SCORES = (
+    f"SELECT q.doc_id, q.punct_ratio, q.mean_token_len, q.quality, "
+    f"l.lang_pred FROM ({SQL_TEXT_QUALITY}) q "
+    f"JOIN ({SQL_LANG_ID}) l USING (doc_id)"
+)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -696,12 +704,32 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
+    """All THREE exact IP/cosine top-k kernels in one query, discriminated
+    by a ``kernel`` column (merged round 5 so the driver surface fits the
+    50-query budget): ``xjoin`` = the crossJoin reference form, ``flat`` =
+    the broadcast-GEMM driver-collect kernel, ``bigindex`` = the
+    inverted-broadcast streamed-index kernel (the beyond-2M scale path).
+    All three are exact, so one brute-force DuckDB oracle (cross-joined
+    with the three kernel labels) checks them simultaneously — any kernel
+    diverging from any other fails the hash."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
-    out = SIM.cosine_topk(e, q, k=5)
-    return out.select(
-        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
-    )
+    outs = []
+    for kern, fn in (
+        ("xjoin", SIM.cosine_topk),
+        ("flat", SIM.dense_cosine_topk),
+        ("bigindex", SIM.dense_cosine_topk_bigindex),
+    ):
+        outs.append(
+            fn(e, q, k=5).select(
+                F.lit(kern).alias("kernel"),
+                "query_id",
+                "vec_id",
+                "rank",
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
 SQL_COSINE_TOPK = """
@@ -722,30 +750,11 @@ SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine FROM (
 WHERE rank <= 5
 """
 
-
-def q_dense_cosine_topk(spark, sf_dir):
-    """Same query as q_cosine_topk but through the broadcast-GEMM dense
-    kernel (operators/similarity.py::dense_cosine_topk) — exact, so it
-    shares SQL_COSINE_TOPK verbatim as its DuckDB oracle."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20)
-    out = SIM.dense_cosine_topk(e, q, k=5)
-    return out.select(
-        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
-    )
-
-
-def q_bigindex_cosine_topk(spark, sf_dir):
-    """Same query as q_cosine_topk through the inverted-broadcast exact
-    kernel (operators/similarity.py::dense_cosine_topk_bigindex — the
-    beyond-2M-index path: bounded query batch broadcast, index streamed,
-    rank-window merge); exact, so it shares SQL_COSINE_TOPK verbatim."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20)
-    out = SIM.dense_cosine_topk_bigindex(e, q, k=5)
-    return out.select(
-        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
-    )
+SQL_DENSE_TOPK_KERNELS = (
+    "SELECT kern.kernel, t.query_id, t.vec_id, t.rank, t.cosine "
+    "FROM (VALUES ('xjoin'), ('flat'), ('bigindex')) kern(kernel) "
+    f"CROSS JOIN ({SQL_COSINE_TOPK}) t"
+)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -828,12 +837,31 @@ def q_geo_properties(spark, sf_dir):
 
 
 def q_geo_blocking_pairs(spark, sf_dir):
+    """BKAFI blocking candidates under BOTH feature-selection criteria,
+    discriminated by a ``criterion`` column (merged from the former
+    separate ``geo_blocking_fi`` query, round 5): ``sdr`` = the
+    ratio-stability criterion, ``fi`` = the learned RF feature-importance
+    order (the reference default, config.py:68).  Each half keeps its own
+    expected-parquet oracle, unioned in SQL."""
+    from ..operators.matching_model import learned_feature_order
     from ..operators.properties import pages_to_properties
 
-    props = pages_to_properties(_geo_pages(spark, sf_dir), zoom=15, log1p=True)
-    res = run_bkafi_blocking(props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM)
-    return res.candidates.select(
-        "bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"
+    props = pages_to_properties(
+        _geo_pages(spark, sf_dir), zoom=15, log1p=True
+    ).persist()
+    cols = ["bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"]
+    res_sdr = run_bkafi_blocking(
+        props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM
+    )
+    order, _ = learned_feature_order(props, n_neg=2, seed=1, n_trees=15)
+    res_fi = run_bkafi_blocking(
+        props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM,
+        feature_order=order,
+    )
+    return res_sdr.candidates.select(
+        F.lit("sdr").alias("criterion"), *cols
+    ).unionByName(
+        res_fi.candidates.select(F.lit("fi").alias("criterion"), *cols)
     )
 
 
@@ -889,25 +917,6 @@ def q_geo_pip(spark, sf_dir):
         F.col("obj_id").alias("point_id"), "lon", "lat"
     )
     return pip_join(pts, fp, zoom=18)
-
-
-def q_geo_blocking_fi(spark, sf_dir):
-    """BKAFI with the learned feature_importance criterion (the reference
-    default, config.py:68): numpy-RF importances order the blocking
-    features (rows-only oracle; ordering quality asserted in pytest)."""
-    from ..operators.matching_model import learned_feature_order
-    from ..operators.properties import pages_to_properties
-
-    props = pages_to_properties(
-        _geo_pages(spark, sf_dir), zoom=15, log1p=True
-    ).persist()
-    order, _ = learned_feature_order(props, n_neg=2, seed=1, n_trees=15)
-    res = run_bkafi_blocking(
-        props, dims=[3], k_list=(1, 5, 20), nn_param=NN_PARAM, feature_order=order
-    )
-    return res.candidates.select(
-        "bkafi_dim", "cand_id", "index_id", "rank", "dist", "label"
-    )
 
 
 def q_geo_threshold_sweep(spark, sf_dir):
@@ -1293,15 +1302,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cell_topk": q_stream_cell_topk,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
+    "text_scores": q_text_scores,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
-    "dense_cosine_topk": q_dense_cosine_topk,
-    "bigindex_cosine_topk": q_bigindex_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1311,6 +1317,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_blocking_recall": q_geo_blocking_recall,
     "geo_match_decisions": q_geo_match_decisions,
     "geo_pair_features": q_geo_pair_features,
+    "geo_threshold_sweep": q_geo_threshold_sweep,
+    "geo_seed_mean_recall": q_geo_seed_mean_recall,
+    "geo_transform": q_geo_transform,
     "geo_tiles": q_geo_tiles,
     "geo_pip": q_geo_pip,
     "geo_centroid_knn": q_geo_centroid_knn,
@@ -1321,10 +1330,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "render_features": q_render_features,
     "geo_partitions": q_geo_partitions,
-    "geo_transform": q_geo_transform,
-    "geo_blocking_fi": q_geo_blocking_fi,
-    "geo_threshold_sweep": q_geo_threshold_sweep,
-    "geo_seed_mean_recall": q_geo_seed_mean_recall,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1348,14 +1353,11 @@ ORACLE_SQL: dict[str, str] = {
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_count": SQL_TOKEN_COUNT,
-    "text_quality": SQL_TEXT_QUALITY,
-    "lang_id": SQL_LANG_ID,
+    "text_scores": SQL_TEXT_SCORES,
     "fingerprint": SQL_FINGERPRINT,
     "stream_dedup": SQL_STREAM_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
-    "cosine_topk": SQL_COSINE_TOPK,
-    "dense_cosine_topk": SQL_COSINE_TOPK,
-    "bigindex_cosine_topk": SQL_COSINE_TOPK,
+    "cosine_topk": SQL_DENSE_TOPK_KERNELS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }
 
@@ -1421,8 +1423,15 @@ ORACLE_SQL.update(
         "geo_properties": _expected_sql(
             "geo_properties", ["obj_id", "source", *_PROPS]
         ),
-        "geo_blocking_pairs": _expected_sql("geo_blocking_pairs", _KNN_COLS),
-        "geo_blocking_fi": _expected_sql("geo_blocking_fi", _KNN_COLS),
+        # both criteria of the merged blocking query keep their own golden
+        # parquet; the union mirrors q_geo_blocking_pairs' criterion column
+        "geo_blocking_pairs": (
+            "SELECT 'sdr' AS criterion, * FROM ("
+            + _expected_sql("geo_blocking_pairs", _KNN_COLS)
+            + ") UNION ALL SELECT 'fi' AS criterion, * FROM ("
+            + _expected_sql("geo_blocking_fi", _KNN_COLS)
+            + ")"
+        ),
         "geo_blocking_recall": _expected_sql(
             "geo_blocking_recall", ["bkafi_dim", "k", "blocking_recall"]
         ),

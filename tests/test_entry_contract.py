@@ -24,9 +24,8 @@ FAST_QUERIES = [
     "ratio_feature", "percentile_agg", "robust_scale", "set_intersect",
     "set_except", "union_label", "ratio_stats", "seed_mean_pivot",
     "sampled_subset", "negative_sampling", "contamination", "knn_window",
-    "tumbling_window", "dedup_exact", "token_count", "text_quality",
-    "lang_id", "fingerprint", "cosine_topk", "dense_cosine_topk",
-    "bigindex_cosine_topk", "embedding_near_dup",
+    "tumbling_window", "dedup_exact", "token_count", "text_scores",
+    "fingerprint", "cosine_topk", "embedding_near_dup",
 ]
 
 
