@@ -35,14 +35,21 @@ import pyspark.sql.types as T
 
 from ..config import DEFAULT_CONF, EngineConf
 
+# dist is nullable ONLY because pyarrow's pandas->Arrow conversion encodes
+# float NaN as Arrow NULL: the Python kernels never emit a true null, so
+# every strategy coalesces null back to NaN right after its Arrow boundary
+# (keeping parity with the JVM-expression strategies, where NaN flows
+# through sqrt/agg natively and sorts LAST in ascending windows — a null
+# would sort FIRST and corrupt the (dist, id) rank order).
 KNN_SCHEMA = T.StructType(
     [
         T.StructField("cand_id", T.StringType(), False),
         T.StructField("index_id", T.StringType(), False),
         T.StructField("rank", T.IntegerType(), False),
-        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("dist", T.DoubleType(), True),
     ]
 )
+_NAN = float("nan")
 
 
 def _dist_expr(a: str, b: str):
@@ -127,7 +134,12 @@ def knn_join_broadcast(
                 {"cand_id": out_c, "index_id": out_i, "rank": out_r, "dist": out_d}
             )
 
-    return cands.select(id_col, features_col).mapInPandas(kernel, schema=KNN_SCHEMA)
+    return (
+        cands.select(id_col, features_col)
+        .mapInPandas(kernel, schema=KNN_SCHEMA)
+        # NaN crossed the Arrow boundary as null (see KNN_SCHEMA note)
+        .withColumn("dist", F.coalesce(F.col("dist"), F.lit(_NAN)))
+    )
 
 
 def _morton_codes(mat: np.ndarray, lo: np.ndarray, span: np.ndarray) -> np.ndarray:
@@ -217,7 +229,13 @@ def _make_local_searcher(
         acc_d = [d0]
         acc_pos = [np.arange(s, e)]
         cnt = e - s
-        surv = np.flatnonzero(lb <= kth)
+        # ~(lb > kth), NOT lb <= kth: a block whose rows are ALL NaN in
+        # some dim has a NaN box bound, and `lb <= kth` would silently
+        # skip it — its NaN rows belong in the tail of the (dist, id)
+        # order whenever fewer than k_eff finite rows exist. NaN-lb
+        # blocks sort last and never trigger the early break, so when
+        # kth is finite they cost one wasted scan at most.
+        surv = np.flatnonzero(~(lb > kth))
         surv = surv[surv != seed]
         if len(surv):
             for c in surv[np.argsort(lb[surv], kind="stable")]:
@@ -228,7 +246,7 @@ def _make_local_searcher(
                 d = np.sqrt(
                     np.einsum("nd,nd->n", seg, seg, out=dsq_buf[: e2 - s2])
                 )
-                if cnt >= k_eff:
+                if cnt >= k_eff and kth < np.inf:
                     keep = d <= kth
                     nk = int(np.count_nonzero(keep))
                     if nk:
@@ -236,6 +254,14 @@ def _make_local_searcher(
                         acc_pos.append(np.flatnonzero(keep) + s2)
                         cnt += nk
                 else:
+                    # kth == inf means the pool is not yet full of FINITE
+                    # distances: keep the whole block (NaN rows included),
+                    # otherwise `d <= kth` would drop NaN candidates from
+                    # later blocks while earlier blocks kept theirs — the
+                    # NaN tail of the result would then depend on block
+                    # visit order instead of the documented global
+                    # (dist, id) tie order (NaN features are reachable:
+                    # elongation is NaN for degenerate meshes).
                     acc_d.append(d.copy())
                     acc_pos.append(np.arange(s2, e2))
                     cnt += e2 - s2
@@ -631,6 +657,16 @@ def knn_join_equidepth(
     return out.select("cand_id", "index_id", "rank", "dist")
 
 
+# knn_join_range caches two intermediates per call. ``cnd`` is dropped as
+# soon as round 1 is materialized, but ``r1`` must outlive the RETURNED lazy
+# DataFrame (its `done` branch reads r1), so it cannot be unpersisted inside
+# the call. Single-entry eviction instead (the _DENSE_IDX_CACHE pattern):
+# each new call unpersists the previous call's r1, bounding accumulated
+# cache to one outstanding result per session. Unpersisting never breaks a
+# still-held older result — Spark just recomputes the lineage on next use.
+_RANGE_PREV_PERSISTS: list = []
+
+
 def knn_join_range(
     cands: DataFrame,
     index: DataFrame,
@@ -640,7 +676,6 @@ def knn_join_range(
     round_dists: int | None = 3,
     slice_rows: int = 100_000,
     halo_slices: int | None = None,
-    conf: EngineConf = DEFAULT_CONF,
 ) -> DataFrame:
     """Exact distributed kNN via equi-depth dim-0 range slices — the
     beyond-broadcast scale path (round 4; supersedes the pair-exploding
@@ -688,6 +723,11 @@ def knn_join_range(
             )
 
     spark = cands.sparkSession
+    while _RANGE_PREV_PERSISTS:
+        try:
+            _RANGE_PREV_PERSISTS.pop().unpersist()
+        except Exception:
+            pass
     n_index = index.count()
     _ph("index count")
     # at least 4 slices per core: slice keys are HASH-distributed over the
@@ -769,7 +809,7 @@ def knn_join_range(
             T.StructField("cand_id", T.StringType(), False),
             T.StructField("index_id", T.StringType(), True),
             T.StructField("rank", T.IntegerType(), False),
-            T.StructField("dist", T.DoubleType(), False),
+            T.StructField("dist", T.DoubleType(), True),
             T.StructField("final", T.BooleanType(), False),
             T.StructField("kth", T.DoubleType(), False),
             # crosser marker: the candidate's vector, attached to exactly
@@ -835,6 +875,11 @@ def knn_join_range(
                 # kth-ball radius is unknown: expansion must cover every
                 # slice
                 kq = float(dsel[-1]) if found >= k_req else np.inf
+                if np.isnan(kq):
+                    # kth distance NaN (NaN-feature rows inside the top-k):
+                    # no finite ball bound — treat as inf so round 2 scans
+                    # every slice for this candidate
+                    kq = np.inf
                 id_parts.append(sel_ids)
                 d_parts.append(dsel)
                 counts[bi] = found
@@ -920,14 +965,23 @@ def knn_join_range(
         r1.filter(F.col("_fc").isNotNull()).select("cand_id", "_fc", "kth").collect()
     )
     _ph(f"round1 + {len(cross_rows)} crossers collected")
+    # the collect above ran a job over every r1 partition, so r1 is now
+    # fully cached and cnd's cache is dead weight; r1 itself is evicted by
+    # the NEXT call (see _RANGE_PREV_PERSISTS above)
+    cnd.unpersist()
+    _RANGE_PREV_PERSISTS.append(r1)
 
-    parts = [done.select("cand_id", "index_id", "rank", "dist")]
+    parts = [
+        done.select("cand_id", "index_id", "rank", "dist").withColumn(
+            "dist", F.coalesce(F.col("dist"), F.lit(_NAN))
+        )
+    ]
     if cross_rows:
         R2_SCHEMA = T.StructType(
             [
                 T.StructField("cand_id", T.StringType(), False),
                 T.StructField("index_id", T.StringType(), False),
-                T.StructField("dist", T.DoubleType(), False),
+                T.StructField("dist", T.DoubleType(), True),
             ]
         )
         # range-repartition + sort the index for this pass: interval rows
@@ -1006,7 +1060,11 @@ def knn_join_range(
                             {"cand_id": out_c, "index_id": out_i, "dist": out_d}
                         )
 
-            partial = idx_r2.mapInPandas(r2_kernel, schema=R2_SCHEMA)
+            partial = idx_r2.mapInPandas(r2_kernel, schema=R2_SCHEMA).withColumn(
+                # null here is Arrow-encoded NaN; restore BEFORE the rank
+                # window (ascending null-first would corrupt (dist, id))
+                "dist", F.coalesce(F.col("dist"), F.lit(_NAN))
+            )
             parts.append(
                 partial.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
@@ -1050,7 +1108,7 @@ def knn_join(
         )
     if strategy == "range":
         return knn_join_range(
-            cands, index, k, id_col, features_col, round_dists=round_dists, conf=conf
+            cands, index, k, id_col, features_col, round_dists=round_dists
         )
     if strategy == "equidepth":
         return knn_join_equidepth(

@@ -82,6 +82,7 @@ def dense_cosine_topk(
     exclude_self: bool = True,
     repartition_queries: bool = True,
     _block_cells: int = 8_000_000,
+    dispatch_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine via a broadcast dense index matrix + one BLAS
     GEMM per Arrow batch + argpartition — the flat-inner-product index
@@ -104,9 +105,18 @@ def dense_cosine_topk(
     finishes the chunk — |Q|·|B|·d FLOPs inside BLAS instead of |Q|·|B|
     shuffled rows through a rank window, with an exact-tie fallback
     (full dgemv re-derivation) for rows whose kth score ties a block
-    cut. Past the cap, use :func:`lsh_cosine_topk` /
-    :func:`ivf_cosine_topk` (approximate) or shard the index and merge
-    per-query top-k (the ``knn_join_range`` pattern).
+    cut.
+
+    Dispatch (round 5): past ``dispatch_threshold`` index rows the call
+    routes to :func:`dense_cosine_topk_bigindex` (same output contract,
+    broadcast side inverted, index never collected) whenever the query
+    side fits its 200k batch cap — measured 3-4x faster already at 1M
+    index rows and the only exact shape beyond ``index_cap``. The
+    driver-collect kernel here remains the low-latency small-index path
+    and the >200k-query fallback. Past ``index_cap`` with >200k queries,
+    use :func:`lsh_cosine_topk` / :func:`ivf_cosine_topk` (approximate)
+    or batch the queries and merge per-query top-k (the
+    ``knn_join_range`` pattern).
 
     Semantics note: zero-norm vectors get cosine 0.0 against everything
     (the crossJoin form yields NaN there); identical on any input
@@ -120,6 +130,26 @@ def dense_cosine_topk(
 
     embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     n_index = embeddings.count()
+    if n_index > dispatch_threshold:
+        # Round-5 dispatch policy (VERDICT r4 #3): beyond ~100k index rows
+        # the inverted-broadcast kernel is strictly faster even though it
+        # costs one extra count on the query side — the same-session A/B
+        # (BENCH.md round 5) shows it 3-4x faster at 1-2M index rows
+        # because it skips the 0.8-1.6 GB driver collect + per-worker
+        # broadcast deserialization entirely, and it is the ONLY exact
+        # path past index_cap. The driver-collect kernel below is kept
+        # for the small-index regime where its lower latency wins, and as
+        # the fallback when the query side exceeds the bigindex cap.
+        n_q = queries.filter(F.col(vec_col).isNotNull()).count()
+        if n_q <= 200_000:
+            return dense_cosine_topk_bigindex(
+                embeddings,
+                queries,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                exclude_self=exclude_self,
+            )
     if n_index > index_cap:
         raise ValueError(
             f"dense index has {n_index} rows > cap {index_cap}; use "
@@ -320,7 +350,7 @@ def dense_cosine_topk(
     q = queries.select(id_col, vec_col)
     if repartition_queries:
         # per-query work is |B|·d FLOPs — orders of magnitude above the
-        # cost of shuffling the query row — so spread queries across 4x
+        # cost of shuffling the query row — so spread queries across 2x
         # parallelism tasks regardless of how the caller's frame is
         # partitioned (a filtered range input can land every query in ONE
         # partition and serialize the whole scan; measured at |B|=1M,

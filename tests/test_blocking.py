@@ -295,6 +295,116 @@ class TestBlocking:
         )
         np.testing.assert_allclose(b["dist"], r["dist"], atol=1e-9)
 
+    def test_nan_features_tie_order(self, spark):
+        """NaN distances (reachable: elongation is NaN for degenerate
+        meshes) must land in the documented GLOBAL (dist, id) order — NaN
+        last, ordered by index_id — regardless of which internal block or
+        slice scanned them (round-5 ADVICE fix: the local searcher used to
+        drop NaN rows from blocks visited after the pool filled, making
+        the NaN tail depend on block visit order)."""
+        import math
+
+        import pyspark.sql.functions as F  # noqa: F401
+        from geospatial_object_matching_spark.operators.knn import (
+            knn_join_broadcast,
+            knn_join_range,
+        )
+
+        rng = np.random.default_rng(5)
+        rows_i = [
+            (f"i{i:02d}", [float(rng.uniform()), float(rng.uniform())])
+            for i in range(12)
+        ] + [
+            (f"i{i:02d}", [float(rng.uniform()), float("nan")])
+            for i in range(12, 20)
+        ]
+        rows_c = [
+            (f"c{j}", [float(rng.uniform()), float(rng.uniform())])
+            for j in range(6)
+        ]
+        idx = spark.createDataFrame(
+            rows_i, "obj_id string, features array<double>"
+        )
+        cand = spark.createDataFrame(
+            rows_c, "obj_id string, features array<double>"
+        )
+        k = 16  # > 12 finite index rows: the NaN tail is part of top-k
+        exp = []
+        for cid, cv in rows_c:
+            cv = np.asarray(cv)
+            d = {
+                rid: float(np.sqrt(((np.asarray(iv) - cv) ** 2).sum()))
+                for rid, iv in rows_i
+            }
+            order = sorted(
+                d,
+                key=lambda r: (
+                    math.isnan(d[r]),
+                    0.0 if math.isnan(d[r]) else d[r],
+                    r,
+                ),
+            )
+            exp.extend(
+                (cid, rid, rk + 1, d[rid])
+                for rk, rid in enumerate(order[:k])
+            )
+        expdf = (
+            pd.DataFrame(exp, columns=["cand_id", "index_id", "rank", "dist"])
+            .sort_values(["cand_id", "rank"])
+            .reset_index(drop=True)
+        )
+        for got in (
+            knn_join_broadcast(cand, idx, k, round_dists=None).toPandas(),
+            knn_join_range(
+                cand, idx, k, slice_rows=4, round_dists=None
+            ).toPandas(),
+        ):
+            got = got.sort_values(["cand_id", "rank"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["cand_id", "index_id", "rank"]],
+                expdf[["cand_id", "index_id", "rank"]],
+                check_dtype=False,
+            )
+            np.testing.assert_allclose(got["dist"], expdf["dist"], atol=1e-9)
+
+    def test_local_searcher_nan_multiblock(self):
+        """Direct kernel regression for the round-5 ADVICE fix: with
+        chunk=4 the index spans many Morton blocks; when fewer than k_eff
+        rows have finite distances, NaN rows from EVERY block must reach
+        the final lexsort (the old code kept NaN rows only from blocks
+        visited before the pool count filled, so the NaN tail depended on
+        block visit order)."""
+        import math
+
+        from geospatial_object_matching_spark.operators.knn import (
+            _make_local_searcher,
+        )
+
+        rng = np.random.default_rng(11)
+        n, nfin = 64, 10
+        mat = rng.uniform(0, 1, (n, 3))
+        nan_rows = rng.choice(n, n - nfin, replace=False)
+        mat[nan_rows, 2] = np.nan
+        ids = np.array([f"i{i:03d}" for i in range(n)], dtype=object)
+        k_eff = 30  # > nfin finite rows: the NaN tail is load-bearing
+        search = _make_local_searcher(ids, mat, k_eff, chunk=4)
+        for _ in range(8):
+            q = rng.uniform(0, 1, 3)
+            d = np.sqrt(((mat - q) ** 2).sum(axis=1))
+            order = sorted(
+                range(n),
+                key=lambda i: (
+                    math.isnan(d[i]),
+                    0.0 if math.isnan(d[i]) else d[i],
+                    ids[i],
+                ),
+            )[:k_eff]
+            got_ids, got_d = search(q)
+            assert list(got_ids) == [ids[i] for i in order]
+            np.testing.assert_allclose(
+                got_d, [d[i] for i in order], atol=1e-12
+            )
+
     def test_equidepth_many_bins_equals_broadcast(self, spark):
         """One bin per index row (n_bins == n_index): exercises the
         runtime-sequence shell + broadcast-boundary gap udf (round-2

@@ -304,6 +304,36 @@ class TestCosine:
             )
             pd.testing.assert_frame_equal(a, b)
 
+    def test_dense_dispatch_routes_to_bigindex(self, spark):
+        """Round-5 dispatch: past dispatch_threshold index rows (and a
+        query side within the bigindex cap) dense_cosine_topk must route
+        to the inverted-broadcast kernel and return identical rows."""
+        rng = np.random.default_rng(3)
+        df = spark.createDataFrame(
+            [(i, rng.normal(size=6).tolist()) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter(F.col("vec_id") < 8)
+        via_dispatch = (
+            SIM.dense_cosine_topk(df, q, k=4, dispatch_threshold=0)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        flat = (
+            SIM.dense_cosine_topk(df, q, k=4)  # 60 rows < default threshold
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(via_dispatch, flat)
+        # dispatch must also lift the driver-collect index cap: an index
+        # past index_cap with a bounded query side now succeeds
+        out = SIM.dense_cosine_topk(
+            df, q, k=4, dispatch_threshold=0, index_cap=5
+        )
+        assert out.count() == 8 * 4
+
     def test_bigindex_query_cap_raises(self, spark):
         df = spark.createDataFrame(
             [(i, [float(i), 1.0]) for i in range(10)],

@@ -97,6 +97,22 @@ def test_exact_percentiles_multicol_and_nulls(spark):
         assert_bit_equal(got[c], want[c], c)
 
 
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_exact_percentiles_runlength_path(spark, name):
+    # interior_cap=0 forces EVERY populated bracket through the
+    # (value, count) run-length aggregation — the round-5 ADVICE fix: a
+    # constant or heavily-duplicated column must never collect O(n)
+    # duplicate rows to the driver (the bracket cannot shrink below the
+    # modal value, so the raw-row path would ship every duplicate)
+    data = CASES[name]
+    df = spark.createDataFrame(
+        [(float(v),) for v in data], "x double"
+    ).repartition(7)
+    got = exact_percentiles(df, ["x"], PROBS, interior_cap=0)
+    want = spark_reference(spark, df, ["x"], PROBS)
+    assert_bit_equal(got["x"], want["x"], name)
+
+
 def test_exact_percentiles_fallback_path(spark):
     # accuracy=4 makes the brackets so loose the interior misses ranks →
     # the fallback single-agg path must produce identical values

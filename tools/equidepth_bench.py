@@ -114,7 +114,7 @@ def timed_knn(spark, cands_path, index_path, k, strategy, conf, **kw):
     elif strategy == "range":
         from geospatial_object_matching_spark.operators.knn import knn_join_range
 
-        res = knn_join_range(cands, index, k, conf=conf, **kw)
+        res = knn_join_range(cands, index, k, **kw)
     else:
         res = knn_join(cands, index, k, strategy=strategy, conf=conf)
     n = res.count()
@@ -222,7 +222,7 @@ def main():
                 knn_join_range,
             )
 
-            a = knn_join_range(sub, idx, args.k, conf=conf, **eq_kw).toPandas()
+            a = knn_join_range(sub, idx, args.k, **eq_kw).toPandas()
         else:
             a = knn_join_equidepth(sub, idx, args.k, conf=conf, **eq_kw).toPandas()
         b = knn_join_broadcast(sub, idx, args.k).toPandas()
