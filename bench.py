@@ -23,6 +23,26 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def wait_quiet(threshold: float, max_wait: float, poll: float = 15.0) -> float:
+    """Block until the 1-min loadavg drops below ``threshold`` (or
+    ``max_wait`` elapses) and return the final reading. Co-tenant load on
+    this host arrives in 20-40 min storms that swing wall times ±30%
+    (BENCH.md round 4 recorded loadavg 1.7→16 during one run), which was
+    starting to mask real round-over-round deltas — the recorded bench now
+    waits for a quiet window and stamps the loadavg it actually ran at."""
+    t0 = time.time()
+    la = loadavg1()
+    while la >= threshold and time.time() - t0 < max_wait:
+        time.sleep(poll)
+        la = loadavg1()
+    return la
+
+
 def build_spark(cpus: int):
     from geospatial_object_matching_spark.config import EngineConf
     from geospatial_object_matching_spark.session import get_spark
@@ -92,14 +112,25 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     queries: dict[str, float] = {}
 
-    # min-of-N trials: this host's steal-time variance is 2-10x run to run
-    # (memory note "sandbox-performance-traps"); clearCache between trials
-    # so Spark's plan-equality CacheManager can't serve cached stages.
-    geo = run_geo_pipeline(spark, sf_dir, n_entities)
-    for _ in range(trials - 1):
-        spark.catalog.clearCache()
+    # quiet-window gate (round 5): wait (bounded) for 1-min loadavg < 4
+    # before the flagship timing; record what we actually got either way
+    quiet_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4"))
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_MAXWAIT", "600"))
+    la_start = wait_quiet(quiet_thresh, quiet_wait)
+    la_trials: list[float] = []
+
+    # min-of-N trials (flagship: min-of-3): this host's steal-time
+    # variance is 2-10x run to run (memory note
+    # "sandbox-performance-traps"); clearCache between trials so Spark's
+    # plan-equality CacheManager can't serve cached stages.
+    geo_trials = max(trials, 3)
+    geo = None
+    for i in range(geo_trials):
+        if i:
+            spark.catalog.clearCache()
+        la_trials.append(loadavg1())
         g2 = run_geo_pipeline(spark, sf_dir, n_entities)
-        if g2["sec"] < geo["sec"]:
+        if geo is None or g2["sec"] < geo["sec"]:
             geo = g2
     queries["geo_pipeline"] = geo["sec"]
 
@@ -138,6 +169,12 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "geo": geo,
+        "loadavg": {
+            "gate": quiet_thresh,
+            "at_start": round(la_start, 2),
+            "per_flagship_trial": [round(v, 2) for v in la_trials],
+            "at_end": round(loadavg1(), 2),
+        },
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
