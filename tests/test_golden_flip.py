@@ -1,10 +1,17 @@
-"""Injected-bug flip tests for the two remaining golden-tier oracles.
+"""Injected-bug flip tests for the learned-model oracles.
 
-``geo_blocking_fi`` and ``geo_matching_quality`` capture learned-model
+``geo_matching_quality`` (and ``contrastive_quality``) capture learned-model
 outputs bit-for-bit (oracle/expected/README.md: golden tier — the engine's
-own output under fixed seeds).  A golden comparison only has teeth if a
-deterministic kernel bug actually CHANGES the captured output; these tests
-prove that for the two bug classes the golden hash demonstrably catches:
+own output under fixed seeds).  ``geo_blocking_fi`` was PROMOTED to the
+independent tier in round 5: tools/gen_expected.py::expected_blocking_fi
+recomputes the whole fi chain (xxhash64 negative draws → ratio features →
+seeded RF importances → BKAFI kNN) without engine imports, and reproduced
+the previously-captured golden byte-identically on first run; the
+engine↔sim agreement is asserted directly in
+``test_blocking_fi_sim_matches_engine`` below.  A golden/independent
+comparison only has teeth if a deterministic kernel bug actually CHANGES
+the output; these tests prove that for the bug classes the oracle
+demonstrably catches:
 
 - a feature-importance *ordering* bug (wrong sort direction,
   classifier.py:191-207 semantics) changes the BKAFI feature order and
@@ -97,6 +104,57 @@ class TestGoldenOracleFlips:
         # the golden artifact itself (the candidate pair rows) moves, so
         # the driver's value-hash comparison would go red
         assert pair_set(order_good) != pair_set(order_bad)
+
+    def test_blocking_fi_sim_matches_engine(self, spark, props):
+        """Round-5 promotion evidence: the gen_expected standalone fi
+        chain (xxhash64 draws → ratio features → seeded RF importances)
+        yields EXACTLY the engine's learned feature order on the fixture.
+        Catches any future drift between the engine fit and the
+        independent oracle spec."""
+        import math as _math
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        import gen_expected as GE
+
+        from geospatial_object_matching_spark.config import OBJECT_PROPERTIES
+
+        order_engine, _ = mm.learned_feature_order(
+            props, n_neg=2, seed=1, n_trees=15
+        )
+
+        pdf = props.toPandas()
+        vals = {
+            p: {
+                s: dict(
+                    zip(g["obj_id"], g[p])
+                )
+                for s, g in pdf.groupby("source")
+            }
+            for p in OBJECT_PROPERTIES
+        }
+        ids_c = set(vals[OBJECT_PROPERTIES[0]]["cands"])
+        ids_i = sorted(vals[OBJECT_PROPERTIES[0]]["index"])
+        matched = sorted(ids_c.intersection(ids_i))
+        pairs = sorted(GE.negative_pairs_sim(matched, ids_i, n_neg=2, seed=1))
+        X = np.empty((len(pairs), len(OBJECT_PROPERTIES)))
+        y = np.empty(len(pairs), dtype=np.int64)
+        for r, (cid, iid) in enumerate(pairs):
+            y[r] = 1 if cid == iid else 0
+            for fj, p in enumerate(OBJECT_PROPERTIES):
+                c, i = vals[p]["cands"][cid], vals[p]["index"][iid]
+                if i == 0.0:
+                    X[r, fj] = 1000.0
+                else:
+                    rr = GE.spark_round(c / i, 3)
+                    X[r, fj] = 1000.0 if _math.isnan(rr) else min(1000.0, rr)
+        order_sim = [
+            n.split("_ratio")[0]
+            for n in GE.rf_importance_order(
+                X, y, [f"{p}_ratio" for p in OBJECT_PROPERTIES], n_trees=15
+            )
+        ]
+        assert order_sim == order_engine
 
     def test_matching_quality_flips_on_scorer_bug(
         self, spark, props, monkeypatch

@@ -72,10 +72,10 @@ TIER = {
     "geo_partitions": "independent",
     "render_features": "independent",
     "geo_image_blocking": "independent",
-    # still golden: learned-model outputs only (blocking_fi,
-    # matching_quality, contrastive_quality) — their independent signal
-    # lives in pytest (determinism, separability, injected-bug flips)
-    "geo_blocking_fi": "golden",
+    "geo_blocking_fi": "independent",
+    # still golden: learned-model QUALITY outputs only (matching_quality,
+    # contrastive_quality) — their independent signal lives in pytest
+    # (determinism, separability, injected-bug flips)
     "geo_matching_quality": "golden",
     "contrastive_quality": "golden",
 }
@@ -1154,6 +1154,150 @@ def expected_pair_features(prop_dict, dim: int = 3, k: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# --------------------------------------------------------------------------
+# round-5 promotion: geo_blocking_fi (the 'fi' half of the merged
+# geo_blocking_pairs query) — the learned feature_importance BKAFI
+# criterion, recomputed WITHOUT engine imports. The RF fit below is the
+# sanctioned spec transcription (SURVEY §5, the ivf_topk precedent): a
+# seeded deterministic procedure reproduced from its documented contract
+# (engine operators/matching_model.py:34-150, cited per step). The
+# numerical steps (np.quantile bins, Gini histogram, PCG64 draw sequence)
+# must match bit-for-bit BY SPEC — the oracle's value is catching
+# engine-side plumbing bugs (pair set, feature assembly, ordering,
+# distribution), which tests/test_golden_flip.py exercises with injected
+# perturbations.
+# --------------------------------------------------------------------------
+
+
+def _rf_gini(counts: np.ndarray) -> np.ndarray:
+    tot = counts.sum(axis=-1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = counts / tot
+    g = 1.0 - (p**2).sum(axis=-1)
+    return np.where(tot[..., 0] > 0, g, 0.0)
+
+
+def _rf_best_split(X, y, feat_idx, n_bins=32):
+    """Histogram CART split (spec: matching_model.py::_best_split —
+    quantile-binned thresholds, Gini gain, first-argmax tie rule)."""
+    n = len(y)
+    parent = np.array([np.sum(y == 0), np.sum(y == 1)], dtype=np.float64)
+    parent_gini = _rf_gini(parent)
+    best = (None, None, 0.0)
+    for f in feat_idx:
+        x = X[:, f]
+        qs = np.unique(np.quantile(x, np.linspace(0.02, 0.98, n_bins)))
+        if len(qs) < 2:
+            continue
+        bins = np.searchsorted(qs, x, side="right")
+        hist = np.zeros((len(qs) + 1, 2))
+        np.add.at(hist, (bins, y), 1.0)
+        left = np.cumsum(hist, axis=0)[:-1]
+        right = parent - left
+        nl = left.sum(axis=1)
+        nr = right.sum(axis=1)
+        valid = (nl > 0) & (nr > 0)
+        if not valid.any():
+            continue
+        child = (nl * _rf_gini(left) + nr * _rf_gini(right)) / n
+        gain = parent_gini - child
+        gain[~valid] = -1.0
+        t = int(gain.argmax())
+        if gain[t] > best[2]:
+            best = (f, float(qs[t]), float(gain[t]))
+    return best
+
+
+def rf_importance_order(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_names: list[str],
+    n_trees: int = 15,
+    max_depth: int = 8,
+    min_samples: int = 4,
+    seed: int = 1,
+) -> list[str]:
+    """Gini-importance feature order of the seeded bagged CART forest
+    (spec: matching_model.py::RandomForestMatcher.fit — one
+    rng.integers(0, n, n) bootstrap per tree, rng.choice(d, sqrt(d))
+    feature subsample per node, importances[f] += gain·|node|,
+    stable-desc sort; reference classifier.py:191-207 +
+    blocking.py:139-142)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n, d = X.shape
+    max_features = max(1, int(np.sqrt(d)))
+    imp = np.zeros(d)
+
+    def grow(Xb, yb, idx, depth):
+        ysub = yb[idx]
+        pos = float(ysub.mean()) if len(ysub) else 0.0
+        if depth >= max_depth or len(idx) < min_samples or pos in (0.0, 1.0):
+            return
+        feat_idx = rng.choice(d, max_features, replace=False)
+        f, thr, gain = _rf_best_split(Xb[idx], ysub, feat_idx)
+        if f is None or gain <= 1e-12:
+            return
+        imp[f] += gain * len(idx)
+        mask = Xb[idx, f] <= thr
+        grow(Xb, yb, idx[mask], depth + 1)
+        grow(Xb, yb, idx[~mask], depth + 1)
+
+    for _ in range(n_trees):
+        boot = rng.integers(0, n, n)
+        grow(X[boot], y[boot], np.arange(n), 0)
+    order = sorted(
+        zip(feature_names, imp), key=lambda kv: kv[1], reverse=True
+    )
+    return [name for name, _ in order]
+
+
+def expected_blocking_fi(prop_dict, dim: int = 3, k: int = 21) -> pd.DataFrame:
+    """BKAFI candidates under the learned feature_importance order
+    (engine q path: learned_feature_order → run_bkafi_blocking; spec
+    matching_model.py:240-262): train pairs = positives (c,c) over the
+    matched intersection + xxhash64 negative draws (n_neg=2, seed=1),
+    features = the 25 ratio features (same clip/round convention as
+    expected_pair_features), fit sorted by (cand_id, index_id)."""
+    ids_c = set(prop_dict[O.PROPERTY_NAMES[0]]["cands"])
+    ids_i = sorted(prop_dict[O.PROPERTY_NAMES[0]]["index"])
+    matched = sorted(ids_c.intersection(ids_i))
+    pairs = sorted(negative_pairs_sim(matched, ids_i, n_neg=2, seed=1))
+    X = np.empty((len(pairs), len(O.PROPERTY_NAMES)), dtype=np.float64)
+    y = np.empty(len(pairs), dtype=np.int64)
+    for r, (cid, iid) in enumerate(pairs):
+        y[r] = 1 if cid == iid else 0
+        for fj, p in enumerate(O.PROPERTY_NAMES):
+            c = prop_dict[p]["cands"][cid]
+            i = prop_dict[p]["index"][iid]
+            if i == 0.0:
+                X[r, fj] = 1000.0
+            else:
+                rr = spark_round(c / i, 3)
+                X[r, fj] = 1000.0 if math.isnan(rr) else min(1000.0, rr)
+    ratio_names = [f"{p}_ratio" for p in O.PROPERTY_NAMES]
+    order = [
+        name.split("_ratio")[0]
+        for name in rf_importance_order(X, y, ratio_names, n_trees=15)
+    ]
+    cands, index = O.bkafi_vectors(prop_dict, order, dim)
+    nn = O.knn_join(cands, index, k=k, round_dists=3)
+    rows = [
+        {
+            "bkafi_dim": dim,
+            "cand_id": cid,
+            "index_id": iid,
+            "rank": rank,
+            "dist": dist,
+            "label": 1 if cid == iid else 0,
+        }
+        for cid, lst in nn.items()
+        for rank, (iid, dist) in enumerate(lst, start=1)
+    ]
+    return pd.DataFrame(rows).astype(
+        {"bkafi_dim": "int32", "rank": "int32", "label": "int32"}
+    )
+
+
 def expected_threshold_sweep(prop_dict, dim: int = 3, k: int = 100) -> pd.DataFrame:
     from geospatial_object_matching_spark.config import THRESHOLD_PERCENTILES
 
@@ -1305,6 +1449,9 @@ def main() -> None:
         )
         acc.setdefault("geo_threshold_sweep", []).append(
             tag(expected_threshold_sweep(prop_dict))
+        )
+        acc.setdefault("geo_blocking_fi", []).append(
+            tag(expected_blocking_fi(prop_dict))
         )
         acc.setdefault("geo_transform", []).append(tag(expected_transform(objs)))
         acc.setdefault("geo_tiles", []).append(tag(expected_geo_tiles(objs)))
