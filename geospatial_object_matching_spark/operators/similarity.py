@@ -82,7 +82,7 @@ def dense_cosine_topk(
     exclude_self: bool = True,
     repartition_queries: bool = True,
     _block_cells: int = 8_000_000,
-    dispatch_threshold: int = 100_000,
+    dispatch_threshold: int = 250_000,
 ) -> DataFrame:
     """Exact top-k by cosine via a broadcast dense index matrix + one BLAS
     GEMM per Arrow batch + argpartition — the flat-inner-product index
@@ -110,13 +110,13 @@ def dense_cosine_topk(
     Dispatch (round 5): past ``dispatch_threshold`` index rows the call
     routes to :func:`dense_cosine_topk_bigindex` (same output contract,
     broadcast side inverted, index never collected) whenever the query
-    side fits its 200k batch cap — measured 3-4x faster already at 1M
-    index rows and the only exact shape beyond ``index_cap``. The
-    driver-collect kernel here remains the low-latency small-index path
-    and the >200k-query fallback. Past ``index_cap`` with >200k queries,
-    use :func:`lsh_cosine_topk` / :func:`ivf_cosine_topk` (approximate)
-    or batch the queries and merge per-query top-k (the
-    ``knn_join_range`` pattern).
+    side fits its 200k batch cap — measured 1.6x faster at 500k index
+    rows, 3-4x at 1-2M, and the only exact shape beyond ``index_cap``;
+    flat wins below ~200k (BENCH.md round-5 A/B). The driver-collect
+    kernel here remains the low-latency small-index path and the
+    <=index_cap >200k-query fallback. When BOTH sides exceed their caps
+    the dispatch hash-batches the queries through
+    :func:`dense_cosine_topk_batched` — exact at any |Q| x |B|.
 
     Semantics note: zero-norm vectors get cosine 0.0 against everything
     (the crossJoin form yields NaN there); identical on any input
@@ -131,15 +131,16 @@ def dense_cosine_topk(
     embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     n_index = embeddings.count()
     if n_index > dispatch_threshold:
-        # Round-5 dispatch policy (VERDICT r4 #3): beyond ~100k index rows
-        # the inverted-broadcast kernel is strictly faster even though it
-        # costs one extra count on the query side — the same-session A/B
-        # (BENCH.md round 5) shows it 3-4x faster at 1-2M index rows
-        # because it skips the 0.8-1.6 GB driver collect + per-worker
-        # broadcast deserialization entirely, and it is the ONLY exact
-        # path past index_cap. The driver-collect kernel below is kept
-        # for the small-index regime where its lower latency wins, and as
-        # the fallback when the query side exceeds the bigindex cap.
+        # Round-5 dispatch policy (VERDICT r4 #3): past the measured
+        # crossover the inverted-broadcast kernel is strictly faster even
+        # though it costs one extra count on the query side — the A/B
+        # (BENCH.md round 5) shows flat winning at <=200k index rows,
+        # bigindex winning 1.6x at 500k and 3-4x at 1-2M (it skips the
+        # 0.8-1.6 GB driver collect + per-worker broadcast
+        # deserialization entirely), and bigindex is the ONLY exact path
+        # past index_cap. Threshold 250k sits in the measured crossover
+        # band (200k-500k). The driver-collect kernel below is kept for
+        # the small-index regime where its lower latency wins.
         n_q = queries.filter(F.col(vec_col).isNotNull()).count()
         if n_q <= 200_000:
             return dense_cosine_topk_bigindex(
@@ -149,6 +150,19 @@ def dense_cosine_topk(
                 id_col=id_col,
                 vec_col=vec_col,
                 exclude_self=exclude_self,
+            )
+        if n_index > index_cap:
+            # both sides past their caps: hash-batched bigindex is the
+            # only exact shape (one index scan per ~150k-query batch,
+            # index never collected)
+            return dense_cosine_topk_batched(
+                embeddings,
+                queries,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                exclude_self=exclude_self,
+                n_queries=n_q,
             )
     if n_index > index_cap:
         raise ValueError(
@@ -553,6 +567,56 @@ def dense_cosine_topk_bigindex(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine")
     )
+
+
+def dense_cosine_topk_batched(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_rows: int = 150_000,
+    exclude_self: bool = True,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k at ANY |Q| and ANY |B| (round 5): the query set
+    is split into deterministic hash batches of ~``batch_rows`` rows and
+    each batch runs :func:`dense_cosine_topk_bigindex` (bounded batch
+    broadcast, index streamed, never collected). Per-query results are
+    independent, so the union of batch outputs IS the exact answer — no
+    cross-batch merge state. Cost model: one full index scan per batch
+    (ceil(|Q|/batch_rows) passes) versus the flat kernel's one pass over
+    the queries with the whole index resident per worker — the batched
+    form is the only exact shape when BOTH sides outgrow their caps
+    (e.g. sf1 geo_image_blocking: 600k queries x 600k index).
+
+    The hash split uses xxhash64(id) pmod n_batches — deterministic,
+    seedless, and balanced to ~|Q|/n_batches ± sqrt; ``batch_rows`` keeps
+    a 25% margin under the 200k bigindex cap so hash variance can never
+    trip it."""
+    import math as _math
+
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    n_q = queries.count() if n_queries is None else n_queries
+    n_batches = max(1, _math.ceil(n_q / batch_rows))
+    if n_batches == 1:
+        return dense_cosine_topk_bigindex(
+            embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
+            exclude_self=exclude_self,
+        )
+    out = None
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    for b in range(n_batches):
+        part = dense_cosine_topk_bigindex(
+            embeddings,
+            queries.filter(bucket == b),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            exclude_self=exclude_self,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _projection_matrix(dim: int, n_planes: int, seed: int) -> list[list[float]]:

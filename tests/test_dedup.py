@@ -334,6 +334,29 @@ class TestCosine:
         )
         assert out.count() == 8 * 4
 
+    def test_batched_bigindex_equals_flat(self, spark):
+        """Round-5 any-|Q|-any-|B| path: hash-batched bigindex (several
+        index passes) must equal the flat kernel row-for-row."""
+        rng = np.random.default_rng(7)
+        df = spark.createDataFrame(
+            [(i, rng.normal(size=5).tolist()) for i in range(70)],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter(F.col("vec_id") < 25)
+        batched = (
+            SIM.dense_cosine_topk_batched(df, q, k=4, batch_rows=7)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        flat = (
+            SIM.dense_cosine_topk(df, q, k=4)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(batched, flat)
+
     def test_bigindex_query_cap_raises(self, spark):
         df = spark.createDataFrame(
             [(i, [float(i), 1.0]) for i in range(10)],

@@ -80,7 +80,13 @@ def main() -> None:
             t_dense = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                res = SIM.dense_cosine_topk(emb, queries, k=K).persist()
+                res = SIM.dense_cosine_topk(
+                    emb, queries, k=K,
+                    # pin the driver-collect flat kernel: the round-5
+                    # default dispatch would route >=100k-row indexes to
+                    # bigindex, which is the OTHER arm of this A/B
+                    dispatch_threshold=1 << 62,
+                ).persist()
                 n_dense = res.count()
                 t_dense = min(t_dense, round(time.time() - t0, 2))
                 # structural checks (exactness itself is covered by the
@@ -89,7 +95,7 @@ def main() -> None:
                 assert n_dense == nq * K, (n_dense, nq, K)
                 assert res.filter(f"rank < 1 or rank > {K}").count() == 0
                 res.unpersist()
-            rec = {"dense_sec": t_dense, "dense_rows": n_dense,
+            rec = {"flat_sec": t_dense, "dense_rows": n_dense,
                    "per_query_ms": round(1000.0 * t_dense / nq, 3)}
 
         # inverted-broadcast exact path (no index collect) at the same
