@@ -27,6 +27,7 @@ its quirks:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -632,16 +633,20 @@ def compute_properties_object(
 
 
 def compute_properties_batch(
-    coords_list, offsets_list, log1p: bool = True, chunk: int = 1500
+    coords_list, offsets_list, log1p: bool = True, chunk: int = 750,
 ) -> dict[str, np.ndarray]:
     """Property columns for a batch of meshes → {name: float64 array}.
 
-    Processes the batch in ``chunk``-object slices: a 1.5k-object slice
-    (~170k points, ~4 MB) stays cache-resident across the kernel's ~30
-    vectorized passes, where a full 10k-object Arrow batch (~1.1M points)
-    is memory-bandwidth-bound — and this host (like any oversubscribed
-    executor) saturates DRAM bandwidth near 16 concurrent workers, so
-    bandwidth-bound kernels anti-scale (BENCH.md environment note).
+    Processes the batch in ``chunk``-object slices: a chunk-sized slice
+    stays cache-resident across the kernel's ~30 vectorized passes, where
+    a full 10k-object Arrow batch (~1.1M points) is memory-bandwidth-bound
+    — and this host (like any oversubscribed executor) saturates DRAM
+    bandwidth near 16 concurrent workers, so bandwidth-bound kernels
+    anti-scale (BENCH.md environment note). Round-5 chunk lab (1.08M
+    pages, featurize stage isolated): 750 beats the old 1500 by 10% at 16
+    workers and 4% at 4 (251/110 s -> 242/99 s); 375 adds only 3% more at
+    16 with no 4-core data — 750 is the default. Results are
+    chunk-invariant (all reductions are per-object).
     
 
     Batch-vectorized (round-3): every reduction that the per-object kernel
@@ -658,6 +663,11 @@ def compute_properties_batch(
     relative — far below the 1e-6 rounding the driver oracle compares at.
     ``tests/test_geometry_properties.py`` asserts batch≡object parity.
     """
+    # experiment knob (round-5 scaling lab): override the slice size per
+    # process; results are chunk-invariant (reductions are per-object)
+    env_chunk = os.environ.get("SPARK_GRAFT_PROP_CHUNK")
+    if env_chunk:
+        chunk = int(env_chunk)
     n = len(coords_list)
     if n > chunk:
         parts = [
