@@ -1,9 +1,7 @@
-"""Injected-bug flip tests for the learned-model oracles.
+"""Flip + parity tests for the learned-model oracles.
 
-``geo_matching_quality`` (and ``contrastive_quality``) capture learned-model
-outputs bit-for-bit (oracle/expected/README.md: golden tier — the engine's
-own output under fixed seeds).  ``geo_blocking_fi`` was PROMOTED to the
-independent tier in round 5: tools/gen_expected.py::expected_blocking_fi
+All three learned-model oracles are INDEPENDENT since round 5 (the golden
+tier is empty): ``geo_blocking_fi`` first — tools/gen_expected.py::expected_blocking_fi
 recomputes the whole fi chain (xxhash64 negative draws → ratio features →
 seeded RF importances → BKAFI kNN) without engine imports, and reproduced
 the previously-captured golden byte-identically on first run; the
@@ -162,9 +160,51 @@ class TestGoldenOracleFlips:
         base = run_matching_quality(spark, props, bkafi_dim=3, n_neg=2, seed=1)
         monkeypatch.setattr(mm, "_f1_macro", _class1_f1)
         bad = run_matching_quality(spark, props, bkafi_dim=3, n_neg=2, seed=1)
-        # cv_f1 is part of the emitted rows — the golden hash flips
+        # cv_f1 is part of the emitted rows — the oracle hash flips
         assert not base.equals(bad)
         assert (
             base.sort_values("model")["cv_f1"].to_numpy()
             != bad.sort_values("model")["cv_f1"].to_numpy()
         ).any()
+
+    def test_matching_quality_sim_matches_engine(self, spark):
+        """Round-5 promotion evidence: gen_expected's standalone
+        matching-quality chain (oracle BKAFI pairs → ratio features → md5
+        split → RF/GB CV-grid spec transcriptions) reproduces the engine
+        lifecycle EXACTLY on the fixture. The independent recomputation
+        also reproduced the r4 engine-captured golden parquet
+        byte-identically on first regeneration."""
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        import gen_expected as GE
+
+        from geospatial_object_matching_spark.operators.properties import (
+            pages_to_properties,
+        )
+
+        n = 40
+        exp = GE.expected_matching_quality(n)
+        pages = generate_pages_df(spark, n, seed=42)
+        pr = pages_to_properties(pages, zoom=15, log1p=True)
+        got = run_matching_quality(spark, pr, bkafi_dim=3, n_neg=2, seed=1)
+        assert exp.to_dict("records") == got.to_dict("records")
+
+    def test_contrastive_quality_sim_matches_engine(self, spark):
+        """Same promotion evidence for the contrastive lifecycle: scalar
+        render+encode (bit-identical embeddings, verified 109/109) →
+        blocking pairs → |diff| features → MLP-spec fit → P/R/F1."""
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        import gen_expected as GE
+
+        from geospatial_object_matching_spark.plans.contrastive import (
+            run_contrastive_matching,
+        )
+
+        n = 30
+        exp = GE.expected_contrastive_quality(n)
+        pages = generate_pages_df(spark, n, seed=42)
+        got = run_contrastive_matching(spark, pages, n_neg=2, seed=1)
+        assert exp.to_dict("records") == got.to_dict("records")

@@ -26,6 +26,7 @@ Usage: python tools/gen_expected.py [sf_dir ...]
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import sys
@@ -73,11 +74,13 @@ TIER = {
     "render_features": "independent",
     "geo_image_blocking": "independent",
     "geo_blocking_fi": "independent",
-    # still golden: learned-model QUALITY outputs only (matching_quality,
-    # contrastive_quality) — their independent signal lives in pytest
-    # (determinism, separability, injected-bug flips)
-    "geo_matching_quality": "golden",
-    "contrastive_quality": "golden",
+    # round 5: the last two learned-model quality tables promoted too —
+    # every oracle is now independent (zero golden tier). The spec
+    # transcriptions (RF/GB/MLP fits, CV grid, md5 split) live below with
+    # per-step citations; engine↔sim exact-match is asserted in
+    # tests/test_golden_flip.py.
+    "geo_matching_quality": "independent",
+    "contrastive_quality": "independent",
 }
 
 GOLDEN_QUERIES = sorted(k for k, v in TIER.items() if v == "golden")
@@ -912,6 +915,173 @@ def _embed_rows(src: str, oid: str, mesh) -> tuple[str, str, np.ndarray]:
     return src, oid, v / (n if n else 1.0)
 
 
+# --------------------------------------------------------------------------
+# round-5 promotion #2: contrastive_quality — the full M5 lifecycle
+# recomputed without engine imports. Embeddings come from the SAME scalar
+# spec chain as expected_image_blocking (verified bit-identical to the
+# engine encoder: 109/109 objects, round-5 session); blocking pairs from
+# the oracle BKAFI kNN; the MLP head is the sanctioned spec transcription
+# of operators/matching_model.py::MLPMatcher (seeded init + seeded epoch
+# shuffles + Adam — deterministic, cited per step).
+# --------------------------------------------------------------------------
+
+
+def _mlp_fit_spec(
+    X: np.ndarray,
+    y: np.ndarray,
+    hidden=(32, 16),
+    batch_size: int = 16,
+    max_iter: int = 300,
+    learning_rate: float = 1e-3,
+    seed: int = 1,
+):
+    """MLPMatcher.fit spec (matching_model.py:813-871): standardize,
+    He-init via one PCG64 stream, per-epoch rng.permutation minibatches,
+    logistic loss, Adam with bias correction."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    mu = X.mean(axis=0)
+    sd = np.where(X.std(axis=0) == 0, 1.0, X.std(axis=0))
+    Xs = (X - mu) / sd
+    yv = y.astype(np.float64)
+    d = X.shape[1]
+    sizes = [d, *hidden, 1]
+    Ws = [
+        rng.normal(0, np.sqrt(2.0 / sizes[i]), (sizes[i], sizes[i + 1]))
+        for i in range(3)
+    ]
+    bs = [np.zeros(sizes[i + 1]) for i in range(3)]
+    mW = [np.zeros_like(w) for w in Ws]
+    vW = [np.zeros_like(w) for w in Ws]
+    mB = [np.zeros_like(b) for b in bs]
+    vB = [np.zeros_like(b) for b in bs]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    t = 0
+    n = len(yv)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+    for _ in range(max_iter):
+        order = rng.permutation(n)
+        for s in range(0, n, batch_size):
+            idx = order[s : s + batch_size]
+            xb, yb = Xs[idx], yv[idx]
+            z1 = xb @ Ws[0] + bs[0]
+            a1 = np.maximum(z1, 0)
+            z2 = a1 @ Ws[1] + bs[1]
+            a2 = np.maximum(z2, 0)
+            z3 = (a2 @ Ws[2] + bs[2]).ravel()
+            p = sigmoid(z3)
+            g3 = ((p - yb) / len(yb))[:, None]
+            grads_W = [None, None, a2.T @ g3]
+            grads_b = [None, None, g3.sum(axis=0)]
+            g2 = (g3 @ Ws[2].T) * (z2 > 0)
+            grads_W[1] = a1.T @ g2
+            grads_b[1] = g2.sum(axis=0)
+            g1 = (g2 @ Ws[1].T) * (z1 > 0)
+            grads_W[0] = xb.T @ g1
+            grads_b[0] = g1.sum(axis=0)
+            t += 1
+            for i in range(3):
+                mW[i] = b1 * mW[i] + (1 - b1) * grads_W[i]
+                vW[i] = b2 * vW[i] + (1 - b2) * grads_W[i] ** 2
+                mB[i] = b1 * mB[i] + (1 - b1) * grads_b[i]
+                vB[i] = b2 * vB[i] + (1 - b2) * grads_b[i] ** 2
+                mhW = mW[i] / (1 - b1**t)
+                vhW = vW[i] / (1 - b2**t)
+                mhB = mB[i] / (1 - b1**t)
+                vhB = vB[i] / (1 - b2**t)
+                Ws[i] -= learning_rate * mhW / (np.sqrt(vhW) + eps)
+                bs[i] -= learning_rate * mhB / (np.sqrt(vhB) + eps)
+    # the engine stores weights via tolist() and re-materializes them per
+    # predict batch — a bit-exact float64 roundtrip, so arrays suffice
+    return list(zip(Ws, bs)), (mu, sd)
+
+
+def _mlp_predict_spec(X, params, norm):
+    mu, sd = norm
+    a = (np.asarray(X, dtype=np.float64) - mu) / sd
+    for i, (w, b) in enumerate(params):
+        a = a @ w + b
+        if i < 2:
+            a = np.maximum(a, 0)
+    p = 1.0 / (1.0 + np.exp(-np.clip(a.ravel(), -30, 30)))
+    return (p >= 0.5).astype(np.int64)
+
+
+def _md5_is_train(cand_id: str, train_frac: float, seed: int) -> bool:
+    """train_test_split_pairs spec (plans/matching_quality.py:73-95):
+    md5(f'{seed}|{cand_id}') first 8 hex digits / 0xFFFFFFFF < frac."""
+    h = hashlib.md5(f"{seed}|{cand_id}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(0xFFFFFFFF) < train_frac
+
+
+def expected_contrastive_quality(n_entities: int, workers: int = 16) -> pd.DataFrame:
+    """Independent recomputation of q_contrastive_quality (plans/
+    contrastive.py::run_contrastive_matching, n_neg=2, seed=1,
+    hidden=(32,16), max_iter=300): oracle BKAFI kNN (k=3) → blocking-based
+    pos/neg pairs (pos = ALL matched ids; neg = rank<=3 non-matches,
+    data_partition.py:374-415 spec) → scalar-spec embeddings → |diff|
+    features → md5 entity split → MLP-spec fit → predict → P/R/F1
+    rounded 3."""
+    pdf_pages = generate_pages_pdf(n_entities, seed=42)
+    objs = O.object_dicts_from_pages(pdf_pages)
+    prop_dict = prop_dict_parallel(objs)
+    order = list(O.property_ratios(prop_dict).keys())
+    cands_v, index_v = O.bkafi_vectors(prop_dict, order, 3)
+    nn = O.knn_join(cands_v, index_v, k=3, round_dists=3)
+    ids_c = set(prop_dict[O.PROPERTY_NAMES[0]]["cands"])
+    ids_i = set(prop_dict[O.PROPERTY_NAMES[0]]["index"])
+    pairs = {(c, c, 1) for c in ids_c & ids_i}
+    for cid, lst in nn.items():
+        for rank, (iid, _d) in enumerate(lst, start=1):
+            if rank <= 3 and iid != cid:
+                pairs.add((cid, iid, 0))
+    items = [
+        (t, oid, rec["mesh"])
+        for t in ("cands", "index")
+        for oid, rec in objs[t].items()
+    ]
+    with Pool(workers) as pool:
+        results = pool.starmap(_embed_rows, items, chunksize=8)
+    emb = {(src, oid): v for src, oid, v in results}
+    rows = [
+        (cid, iid, lab, np.abs(emb[("cands", cid)] - emb[("index", iid)]))
+        for cid, iid, lab in pairs
+    ]
+    train = sorted(
+        (r for r in rows if _md5_is_train(r[0], 0.7, 1)),
+        key=lambda r: (r[0], r[1]),
+    )
+    test = [r for r in rows if not _md5_is_train(r[0], 0.7, 1)]
+    Xtr = np.stack([r[3] for r in train])
+    ytr = np.array([r[2] for r in train], dtype=np.int64)
+    params, norm = _mlp_fit_spec(Xtr, ytr)
+    Xte = np.stack([r[3] for r in test])
+    yte = np.array([r[2] for r in test], dtype=np.int64)
+    pred = _mlp_predict_spec(Xte, params, norm)
+    tp = int(((pred == 1) & (yte == 1)).sum())
+    fp = int(((pred == 1) & (yte == 0)).sum())
+    fn = int(((pred == 0) & (yte == 1)).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return pd.DataFrame(
+        [
+            {
+                "model": "ContrastiveImageMatcher",
+                "precision": round(precision, 3),
+                "recall": round(recall, 3),
+                "f1": round(f1, 3),
+            }
+        ]
+    )
+
+
 def expected_image_blocking(objs, k_list=(1, 5, 20), workers: int = 16):
     """Independent oracle for the S8 image-blocking path (reference
     blocking.py:176-191 + pipelines.py:386): embeddings for every object
@@ -1251,6 +1421,292 @@ def rf_importance_order(
     return [name for name, _ in order]
 
 
+def _rf_fit_spec(
+    X, y, n_trees=30, max_depth=8, min_samples=4, seed=1,
+):
+    """RandomForestMatcher.fit spec (matching_model.py:76-150): one PCG64
+    stream drives bootstrap draws AND per-node feature subsamples; trees
+    as flat (feature, thr, left, right, pos) node lists."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n, d = X.shape
+    max_features = max(1, int(np.sqrt(d)))
+    imp = np.zeros(d)
+    trees = []
+
+    def fit_tree(Xb, yb):
+        nodes = []
+
+        def grow(idx, depth):
+            node_id = len(nodes)
+            nodes.append(None)
+            ysub = yb[idx]
+            pos = float(ysub.mean()) if len(ysub) else 0.0
+            if depth >= max_depth or len(idx) < min_samples or pos in (0.0, 1.0):
+                nodes[node_id] = (-1, 0.0, -1, -1, pos)
+                return node_id
+            feat_idx = rng.choice(d, max_features, replace=False)
+            f, thr, gain = _rf_best_split(Xb[idx], ysub, feat_idx)
+            if f is None or gain <= 1e-12:
+                nodes[node_id] = (-1, 0.0, -1, -1, pos)
+                return node_id
+            imp[f] += gain * len(idx)
+            mask = Xb[idx, f] <= thr
+            left = grow(idx[mask], depth + 1)
+            right = grow(idx[~mask], depth + 1)
+            nodes[node_id] = (f, thr, left, right, pos)
+            return node_id
+
+        grow(np.arange(len(yb)), 0)
+        return nodes
+
+    for _ in range(n_trees):
+        boot = rng.integers(0, n, n)
+        trees.append(fit_tree(X[boot], y[boot]))
+    return trees, imp
+
+
+def _tree_predict_spec(nodes, X):
+    out = np.empty(len(X))
+    for i in range(len(X)):
+        nid = 0
+        while True:
+            f, thr, left, right, val = nodes[nid]
+            if f < 0:
+                out[i] = val
+                break
+            nid = left if X[i, f] <= thr else right
+    return out
+
+
+def _rf_predict_spec(trees, X):
+    proba = np.mean([_tree_predict_spec(t, X) for t in trees], axis=0)
+    return (proba >= 0.5).astype(np.int64)
+
+
+def _gb_best_split_spec(X, r, feat_idx, n_bins=32):
+    """matching_model.py::_best_split_reg: binned residual-variance
+    reduction, first-argmax ties."""
+    n = len(r)
+    tot_sum = r.sum()
+    best = (None, None, -1.0)
+    for f in feat_idx:
+        x = X[:, f]
+        qs = np.unique(np.quantile(x, np.linspace(0.02, 0.98, n_bins)))
+        if len(qs) < 2:
+            continue
+        bins = np.searchsorted(qs, x, side="right")
+        s = np.zeros(len(qs) + 1)
+        c = np.zeros(len(qs) + 1)
+        np.add.at(s, bins, r)
+        np.add.at(c, bins, 1.0)
+        ls = np.cumsum(s)[:-1]
+        lc = np.cumsum(c)[:-1]
+        rs = tot_sum - ls
+        rc = n - lc
+        valid = (lc > 0) & (rc > 0)
+        if not valid.any():
+            continue
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = np.where(valid, ls**2 / lc + rs**2 / rc, -np.inf)
+        t = int(score.argmax())
+        if score[t] > best[2]:
+            best = (f, float(qs[t]), float(score[t]))
+    return best[0], best[1]
+
+
+def _gb_fit_tree_spec(X, g, h, max_depth, min_samples):
+    """matching_model.py::_fit_reg_tree: Newton leaves sum(g)/sum(h)."""
+    nodes = []
+
+    def grow(idx, depth):
+        node_id = len(nodes)
+        nodes.append(None)
+        gs, hs = g[idx].sum(), h[idx].sum()
+        val = gs / hs if hs > 0 else 0.0
+        if depth >= max_depth or len(idx) < min_samples:
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        f, thr = _gb_best_split_spec(X[idx], g[idx], np.arange(X.shape[1]))
+        if f is None:
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        mask = X[idx, f] <= thr
+        if mask.all() or not mask.any():
+            nodes[node_id] = (-1, 0.0, -1, -1, val)
+            return node_id
+        left = grow(idx[mask], depth + 1)
+        right = grow(idx[~mask], depth + 1)
+        nodes[node_id] = (f, thr, left, right, val)
+        return node_id
+
+    grow(np.arange(len(g)), 0)
+    return nodes
+
+
+def _gb_sigmoid(z):
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+def _gb_fit_spec(X, y, n_rounds=60, max_depth=3, learning_rate=0.1,
+                 min_samples=3, seed=1):
+    """GradientBoostingMatcher.fit spec (matching_model.py:338-376):
+    logistic loss, Newton leaves, no rng."""
+    y = y.astype(np.float64)
+    p0 = min(max(y.mean(), 1e-6), 1 - 1e-6)
+    f0 = float(np.log(p0 / (1 - p0)))
+    F_val = np.full(len(y), f0)
+    trees = []
+    for _ in range(n_rounds):
+        p = _gb_sigmoid(F_val)
+        g = y - p
+        h = p * (1 - p)
+        tree = _gb_fit_tree_spec(X, g, h, max_depth, min_samples)
+        F_val = F_val + learning_rate * _tree_predict_spec(tree, X)
+        trees.append(tree)
+    return trees, f0, learning_rate
+
+
+def _gb_predict_spec(model, X):
+    trees, f0, lr = model
+    F_val = np.full(len(X), f0)
+    for tree in trees:
+        F_val = F_val + lr * _tree_predict_spec(tree, X)
+    return (_gb_sigmoid(F_val) >= 0.5).astype(np.int64)
+
+
+def _f1_macro_spec(y_true, y_pred) -> float:
+    f1s = []
+    for cls in (0, 1):
+        tp = float(np.sum((y_pred == cls) & (y_true == cls)))
+        fp = float(np.sum((y_pred == cls) & (y_true != cls)))
+        fn = float(np.sum((y_pred != cls) & (y_true == cls)))
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
+    return float(np.mean(f1s))
+
+
+def _stratified_folds_spec(y, cv, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    folds = [[] for _ in range(cv)]
+    for cls in np.unique(y):
+        idx = np.flatnonzero(y == cls)
+        rng.shuffle(idx)
+        for i, chunk in enumerate(np.array_split(idx, cv)):
+            folds[i].extend(chunk.tolist())
+    return [np.array(sorted(f)) for f in folds]
+
+
+def _param_combos_spec(grid):
+    keys = sorted(grid)
+    combos = [{}]
+    for k in keys:
+        combos = [dict(c, **{k: v}) for c in combos for v in grid[k]]
+    return combos
+
+
+def _mq_ratio_X(prop_dict, pairs):
+    """25 ratio features per pair — same clip/round convention as
+    expected_pair_features/expected_blocking_fi."""
+    X = np.empty((len(pairs), len(O.PROPERTY_NAMES)), dtype=np.float64)
+    y = np.empty(len(pairs), dtype=np.int64)
+    for r, (cid, iid, lab) in enumerate(pairs):
+        y[r] = lab
+        for fj, p in enumerate(O.PROPERTY_NAMES):
+            c = prop_dict[p]["cands"][cid]
+            i = prop_dict[p]["index"][iid]
+            if i == 0.0:
+                X[r, fj] = 1000.0
+            else:
+                rr = spark_round(c / i, 3)
+                X[r, fj] = 1000.0 if math.isnan(rr) else min(1000.0, rr)
+    return X, y
+
+
+def expected_matching_quality(n_entities: int) -> pd.DataFrame:
+    """Independent recomputation of q_geo_matching_quality (plans/
+    matching_quality.py::run_matching_quality, n_neg=2, seed=1, cv=3,
+    DEFAULT_PARAM_GRIDS = RF{n_trees 15/30 × depth 5/8} +
+    GB{rounds 40/80 × lr 0.1/0.3 × depth 3}): oracle BKAFI kNN (k=3)
+    pairs → 25 ratio features → md5 entity split → CV grid (backbones in
+    grid insertion order RF,GB; spec transcriptions above) → refit winner
+    → test P/R/F1, rows sorted by model name, rounded 3."""
+    pdf_pages = generate_pages_pdf(n_entities, seed=42)
+    objs = O.object_dicts_from_pages(pdf_pages)
+    prop_dict = prop_dict_parallel(objs)
+    order = list(O.property_ratios(prop_dict).keys())
+    cands_v, index_v = O.bkafi_vectors(prop_dict, order, 3)
+    nn = O.knn_join(cands_v, index_v, k=3, round_dists=3)
+    ids_c = set(prop_dict[O.PROPERTY_NAMES[0]]["cands"])
+    ids_i = set(prop_dict[O.PROPERTY_NAMES[0]]["index"])
+    pairs = {(c, c, 1) for c in ids_c & ids_i}
+    for cid, lst in nn.items():
+        for rank, (iid, _d) in enumerate(lst, start=1):
+            if rank <= 3 and iid != cid:
+                pairs.add((cid, iid, 0))
+    train = sorted(
+        (p for p in pairs if _md5_is_train(p[0], 0.7, 1)),
+        key=lambda p: (p[0], p[1]),
+    )
+    test = sorted(p for p in pairs if not _md5_is_train(p[0], 0.7, 1))
+    Xtr, ytr = _mq_ratio_X(prop_dict, train)
+    Xte, yte = _mq_ratio_X(prop_dict, test)
+    folds = _stratified_folds_spec(ytr, 3, 1)
+    grids = {
+        "RandomForestMatcher": {"n_trees": [15, 30], "max_depth": [5, 8]},
+        "GradientBoostingMatcher": {
+            "n_rounds": [40, 80], "learning_rate": [0.1, 0.3],
+            "max_depth": [3],
+        },
+    }
+
+    def fit_predict(name, params, X, y, Xt):
+        if name == "RandomForestMatcher":
+            trees, _ = _rf_fit_spec(X, y, seed=1, **params)
+            return _rf_predict_spec(trees, Xt)
+        model = _gb_fit_spec(X, y, seed=1, **params)
+        return _gb_predict_spec(model, Xt)
+
+    rows = []
+    fitted = {}
+    for name, grid in grids.items():
+        best = (None, -1.0)
+        for params in _param_combos_spec(grid):
+            scores = []
+            for i in range(3):
+                te = folds[i]
+                tr = np.concatenate([folds[j] for j in range(3) if j != i])
+                pred = fit_predict(name, params, Xtr[tr], ytr[tr], Xtr[te])
+                scores.append(_f1_macro_spec(ytr[te], pred))
+            mean_f1 = float(np.mean(scores))
+            if mean_f1 > best[1]:
+                best = (params, mean_f1)
+        fitted[name] = (best[0], best[1])
+    for name in sorted(fitted):
+        params, cv_f1 = fitted[name]
+        pred = fit_predict(name, params, Xtr, ytr, Xte)
+        tp = int(((pred == 1) & (yte == 1)).sum())
+        fp = int(((pred == 1) & (yte == 0)).sum())
+        fn = int(((pred == 0) & (yte == 1)).sum())
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = (
+            2 * precision * recall / (precision + recall)
+            if precision + recall
+            else 0.0
+        )
+        rows.append(
+            {
+                "model": name,
+                "cv_f1": round(cv_f1, 3),
+                "precision": round(precision, 3),
+                "recall": round(recall, 3),
+                "f1": round(f1, 3),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def expected_blocking_fi(prop_dict, dim: int = 3, k: int = 21) -> pd.DataFrame:
     """BKAFI candidates under the learned feature_importance order
     (engine q path: learned_feature_order → run_bkafi_blocking; spec
@@ -1453,6 +1909,13 @@ def main() -> None:
         acc.setdefault("geo_blocking_fi", []).append(
             tag(expected_blocking_fi(prop_dict))
         )
+        n_small = max(30, n_li // 400)
+        acc.setdefault("geo_matching_quality", []).append(
+            tag(expected_matching_quality(n_small))
+        )
+        acc.setdefault("contrastive_quality", []).append(
+            tag(expected_contrastive_quality(n_small))
+        )
         acc.setdefault("geo_transform", []).append(tag(expected_transform(objs)))
         acc.setdefault("geo_tiles", []).append(tag(expected_geo_tiles(objs)))
         acc.setdefault("geo_partitions", []).append(
@@ -1478,8 +1941,9 @@ def main() -> None:
             tag(expected_ivf_buckets(sf_dir))
         )
 
-    for name, frames in golden_outputs(sf_dirs).items():
-        acc[name] = frames
+    if GOLDEN_QUERIES:  # empty since round 5 — every oracle is independent
+        for name, frames in golden_outputs(sf_dirs).items():
+            acc[name] = frames
 
     for name, frames in acc.items():
         write_expected(name, frames)
