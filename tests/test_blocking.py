@@ -353,10 +353,22 @@ class TestBlocking:
             .sort_values(["cand_id", "rank"])
             .reset_index(drop=True)
         )
+        from geospatial_object_matching_spark.operators.knn import (
+            knn_join_equidepth,
+            knn_join_grid,
+        )
+
         for got in (
             knn_join_broadcast(cand, idx, k, round_dists=None).toPandas(),
             knn_join_range(
                 cand, idx, k, slice_rows=4, round_dists=None
+            ).toPandas(),
+            # the JVM strategies must land the same NaN tail: Spark sorts
+            # NaN LAST in ascending ORDER BY, matching the kernel's
+            # (dist, id) lexsort
+            knn_join_grid(cand, idx, k, 0.3, round_dists=None).toPandas(),
+            knn_join_equidepth(
+                cand, idx, k, round_dists=None, rows_per_bin=4
             ).toPandas(),
         ):
             got = got.sort_values(["cand_id", "rank"]).reset_index(drop=True)
