@@ -19,6 +19,7 @@ only in the signature kernels (Arrow-batched).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -119,7 +120,15 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, signature array<long>) via universal hashing over shingle set."""
+    """(id, signature array<long>) via universal hashing over shingle set.
+
+    The kernel input is round-robin repartitioned up to the session's
+    default parallelism when the scan has fewer partitions (a small corpus
+    in one parquet row group otherwise runs the whole signature pass in a
+    single task — measured sf1: 3 serialized single-core kernel passes of
+    ~4.4 s each). At scale the scan already has ≥ cores partitions and
+    this is a no-op. Signatures are a pure per-row function, so the output
+    is partitioning-invariant."""
     a, b = _hash_params(n_hashes, seed)
 
     schema = T.StructType(
@@ -153,7 +162,11 @@ def minhash_signatures(
                     {"doc_id": pdf[id_col].astype("int64"), "signature": sigs}
                 )
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    narrow = docs.select(id_col, text_col)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.mapInPandas(kernel, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -161,14 +174,36 @@ def minhash_lsh_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     n_hashes: int | None = None,
+    n_ids: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-slice → bucket equi-join.
     Output (id_a, id_b, est_jaccard) with id_a < id_b, deduped.
 
     Pass ``n_hashes`` when known: the fallback ``first()`` probe is an
-    extra Spark job that materializes the signature kernel twice."""
+    extra Spark job that materializes the signature kernel twice.
+
+    Pass ``n_ids`` (the signature row count) when known: the est_jaccard
+    step re-attaches each side's signature to the deduped pair set, and
+    when near-dup clusters are large that pair set is ~quadratic in
+    cluster size while the signature table stays linear in documents — so
+    joining signatures back by sort-merge re-shuffles and re-sorts the
+    huge pair relation twice just to attach a small table (measured sf1,
+    50k docs / 38.8M pairs, local[32]: 57.7 s end-to-end vs 16.4 s with
+    broadcast back-joins; guide §3.1). With ``n_ids`` the operator
+    broadcasts the signature table iff its estimated bytes fit
+    ``SPARK_GRAFT_SIG_BCAST_MB`` (default 128 MB — ~240k docs at 64
+    hashes); above the cap, or when ``n_ids`` is unknown, the planner's
+    own choice stands (sort-merge at scale: correct, spills gracefully)."""
     if n_hashes is None:
         n_hashes = len(signatures.select("signature").first()[0])
+    bcast_sigs = False
+    if n_ids is not None:
+        try:
+            cap_mb = float(os.environ.get("SPARK_GRAFT_SIG_BCAST_MB", "128"))
+        except ValueError:
+            cap_mb = 128.0
+        est_bytes = n_ids * (16 + 8 * n_hashes)
+        bcast_sigs = est_bytes <= cap_mb * (1 << 20)
     rows_per_band = n_hashes // bands
     # band rows carry ONLY (id, band, bucket): the 64-long signature array
     # (~1 KB/row) must not ride through the bands-x self-join shuffle and
@@ -202,13 +237,11 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sigs = signatures.select(id_col, "signature")
-    pairs = pairs.join(
-        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
-        "id_a",
-    ).join(
-        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
-        "id_b",
-    )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    if bcast_sigs:
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.size(
             F.filter(

@@ -688,8 +688,11 @@ def q_minhash_dedup(spark, sf_dir):
     is engine-defined; layer-1 pytest checks its determinism + recall on
     planted duplicates)."""
     d = _t(spark, sf_dir, "documents")
+    # row count from parquet metadata (cheap) → lets the pair step decide
+    # whether the signature back-join can broadcast (see minhash_lsh_pairs)
+    n_docs = d.count()
     sigs = DD.minhash_signatures(d, n_hashes=64, shingle_k=5)
-    return DD.minhash_lsh_pairs(sigs, bands=16, n_hashes=64)
+    return DD.minhash_lsh_pairs(sigs, bands=16, n_hashes=64, n_ids=n_docs)
 
 
 def q_simhash_dedup(spark, sf_dir):
