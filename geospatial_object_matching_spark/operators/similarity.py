@@ -32,6 +32,18 @@ def _norm(c: str):
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input has fewer partitions. A small corpus in one parquet row group
+    otherwise funnels every downstream per-row expression into a single
+    task; at scale the scan already has ≥ cores partitions and this is a
+    no-op. Row-wise results are partitioning-invariant."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1023,6 +1035,20 @@ def ivf_kmeans_centroids(
     return C
 
 
+def _centroid_dot_sql(vec_sql: str, centroid: np.ndarray) -> str:
+    """SQL text for the centroid dot product fold. Same expression tree as
+    the former Column-API construction (zip_with product + left-fold sum
+    over double literals — ``repr`` round-trips every float64 exactly),
+    but ONE py4j round-trip per centroid instead of one per component:
+    building 16 centroids x 64 ``F.lit`` Columns cost ~1 s of driver time
+    per plan construction (measured sf1)."""
+    arr = ",".join(f"{float(x)!r}D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _centroid_dot(vec, centroid: np.ndarray):
     arr = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
@@ -1040,8 +1066,10 @@ def ivf_assign(
     per-centroid dot products (first max wins, matching np.argmax).
     Centroids are unit vectors, so argmax dot == argmax cosine — no
     normalization of the row vector needed."""
-    v = F.col(vec_col).cast("array<double>")
-    dots = F.array(*[_centroid_dot(v, c) for c in centroids])
+    v = f"cast({vec_col} as array<double>)"
+    dots = F.expr(
+        "array(" + ",".join(_centroid_dot_sql(v, c) for c in centroids) + ")"
+    )
     return embeddings.withColumn(
         out_col, (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     )
@@ -1056,14 +1084,14 @@ def ivf_probes(
     """Top-``n_probe`` centroid ids per query (dot desc, cid asc on ties)
     as JVM expressions: structs of (-dot, cid) array-sorted ascending,
     sliced, exploded."""
-    v = F.col(vec_col).cast("array<double>")
-    arr = F.array(
-        *[
-            F.struct(
-                (-_centroid_dot(v, c)).alias("nd"), F.lit(i).alias("c")
-            )
+    v = f"cast({vec_col} as array<double>)"
+    arr = F.expr(
+        "array("
+        + ",".join(
+            f"struct(-({_centroid_dot_sql(v, c)}) as nd, {i} as c)"
             for i, c in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     probes = F.slice(F.array_sort(arr), 1, n_probe)
     return queries.withColumn("_p", F.explode(probes)).withColumn(
@@ -1107,13 +1135,20 @@ def ivf_cosine_topk(
         seed=seed,
     )
     base = ivf_assign(
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("bv"),
+        _spread(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("bv"),
+            )
         ),
         C,
         vec_col="bv",
     )
+    # per-row norm computed ONCE on the index/query side instead of once
+    # per joined pair (the higher-order-function fold is interpreted
+    # per-element — same expression, same value, ~|pairs|/|rows| fewer
+    # evaluations)
+    base = base.withColumn("_bnrm", _norm("bv"))
     q = ivf_probes(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -1123,10 +1158,11 @@ def ivf_cosine_topk(
         n_probe,
         vec_col="qv",
     )
+    q = q.withColumn("_qnrm", _norm("qv"))
     # each index vector lives in exactly one cid and probe cids are
     # distinct, so a (query, vec) pair appears at most once — no dedup
     pairs = q.join(base, "cid").filter(F.col("query_id") != F.col("vec_id"))
-    cos = _dot("qv", "bv") / (_norm("qv") * _norm("bv"))
+    cos = _dot("qv", "bv") / (F.col("_qnrm") * F.col("_bnrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         pairs.select("query_id", "vec_id", cos.alias("cosine"))
