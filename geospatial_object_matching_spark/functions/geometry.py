@@ -152,9 +152,13 @@ def mesh_perimeter(coords: np.ndarray, offsets: np.ndarray) -> float:
 # --------------------------------------------------------------------------
 
 
-def convex_hull_2d(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone-chain 2-D convex hull; returns hull vertices CCW."""
-    pts = np.unique(points[:, :2], axis=0)
+def convex_hull_2d(points: np.ndarray, assume_unique_sorted: bool = False) -> np.ndarray:
+    """Andrew monotone-chain 2-D convex hull; returns hull vertices CCW.
+
+    ``assume_unique_sorted``: caller already holds ``np.unique(points[:, :2],
+    axis=0)`` (row-deduplicated, lexicographically sorted) — skip the
+    per-call sort (the batch kernel derives it from one global lexsort)."""
+    pts = points[:, :2] if assume_unique_sorted else np.unique(points[:, :2], axis=0)
     if len(pts) <= 2:
         return pts
 
@@ -175,10 +179,12 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
-def convex_hull_2d_perimeter(points: np.ndarray) -> float:
+def convex_hull_2d_perimeter(
+    points: np.ndarray, assume_unique_sorted: bool = False
+) -> float:
     """Perimeter of the 2-D hull — matches scipy ``ConvexHull(2d).area``
     (object_properties.py:217-220 uses that as 'convex_hull_area')."""
-    hull = convex_hull_2d(points)
+    hull = convex_hull_2d(points, assume_unique_sorted=assume_unique_sorted)
     if len(hull) <= 1:
         return 0.0
     if len(hull) == 2:
@@ -665,9 +671,16 @@ def compute_properties_batch(
     """
     # experiment knob (round-5 scaling lab): override the slice size per
     # process; results are chunk-invariant (reductions are per-object)
+    # defensive parse: a malformed or non-positive override would raise
+    # inside every executor task / break the slicing range — ignore it
     env_chunk = os.environ.get("SPARK_GRAFT_PROP_CHUNK")
     if env_chunk:
-        chunk = int(env_chunk)
+        try:
+            parsed = int(env_chunk)
+            if parsed >= 1:
+                chunk = parsed
+        except ValueError:
+            pass
     n = len(coords_list)
     if n > chunk:
         parts = [
@@ -870,13 +883,31 @@ def _properties_chunk(
         out["aligned_bounding_box_length"] = ext[:, 1]
         out["aligned_bounding_box_height"] = ext[:, 2]
 
-        # ---- hulls: exact integer geometry stays per-object
+        # ---- hulls: exact integer geometry stays per-object, but the 2-D
+        # hull's per-object ``np.unique(points[:, :2], axis=0)`` comes from
+        # ONE global adjacent-dedup instead of n tiny sorts: verts are
+        # already lex-sorted by (obj, x, y, z), so dropping rows equal to
+        # their predecessor on (obj, x, y) yields exactly the sorted
+        # unique (x, y) set per object — no float arithmetic, bit-exact.
+        xy_first = np.ones(V, dtype=bool)
+        xy_first[1:] = (
+            (vobj[1:] != vobj[:-1])
+            | (verts[1:, 0] != verts[:-1, 0])
+            | (verts[1:, 1] != verts[:-1, 1])
+        )
+        xy = np.ascontiguousarray(verts[xy_first, :2])
+        xyobj = vobj[xy_first]
+        xystart = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(xyobj, minlength=n), out=xystart[1:])
         hull2 = np.empty(n, dtype=np.float64)
         hull3 = np.empty(n, dtype=np.float64)
         for i in range(n):
-            vs = verts[vstart[i] : vstart[i + 1]]
-            hull2[i] = convex_hull_2d_perimeter(vs)
-            hull3[i] = convex_hull_3d_volume(vs, assume_unique=True)
+            hull2[i] = convex_hull_2d_perimeter(
+                xy[xystart[i] : xystart[i + 1]], assume_unique_sorted=True
+            )
+            hull3[i] = convex_hull_3d_volume(
+                verts[vstart[i] : vstart[i + 1]], assume_unique=True
+            )
         out["convex_hull_area"] = hull2
         out["convex_hull_volume"] = hull3
 

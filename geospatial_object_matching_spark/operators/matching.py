@@ -179,13 +179,27 @@ def threshold_stats(
     # sorted percentile/threshold arrays (ascending percentile)
     ps = sorted(thresholds)
     ts = [thresholds[p] for p in ps]
+
     # bucket = number of thresholds strictly below dist = index of the
-    # smallest percentile that still admits the row
-    bucket_expr = F.aggregate(
-        F.array(*[F.lit(t) for t in ts]),
-        F.lit(0),
-        lambda acc, t: acc + F.when(F.col("dist") > t, 1).otherwise(0),
-    )
+    # smallest percentile that still admits the row. Computed as a
+    # balanced binary-search WHEN tree (depth ⌈log2 |ts|⌉ of plain codegen
+    # comparisons) instead of a higher-order aggregate fold: the fold is
+    # interpreted per element and allocated a |ts|-literal array per row —
+    # at the flagship's 12.6M candidate rows that was a measurable serial
+    # tail, at the 200-percentile sweep a 200x one. Thresholds ascend with
+    # percentile, so counting `dist > t` over the sorted list IS the
+    # lower-bound index the tree computes — identical bucket per row.
+    def lower_bound_expr(lo: int, hi: int):
+        """Expression giving #{i: ts[i] < dist} when it lies in [lo, hi]."""
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(F.col("dist") > F.lit(ts[mid]), lower_bound_expr(mid + 1, hi))
+            .otherwise(lower_bound_expr(lo, mid))
+        )
+
+    bucket_expr = lower_bound_expr(0, len(ts))
     hist = (
         candidates.select(
             bucket_expr.alias("bucket"),

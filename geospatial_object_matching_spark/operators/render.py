@@ -97,48 +97,107 @@ def render_mesh(
     zspan = zmax_o - zmin_o
 
     n_surf = len(off) - 1
-    order = []
-    for s in range(n_surf):
-        a, b = int(off[s]), int(off[s + 1])
-        if b - a < 3:
-            continue
-        order.append((float(depth[a:b].max()), s))
-    order.sort()
+    # vectorized per-surface reductions (same values the scalar loop
+    # took): reduceat over EVERY boundary so each segment is exactly
+    # [off[s], off[s+1]); <3-vertex surfaces are filtered afterwards
+    # (their reduceat slots are garbage-but-unused; starts clipped so an
+    # empty trailing surface cannot index past the buffer)
+    scnt = np.diff(off)
+    ok = scnt >= 3
+    sidx = np.flatnonzero(ok)
+    if len(sidx) == 0:
+        return img
+    if (scnt > 0).all() and int(off[0]) == 0 and int(off[-1]) == len(pts):
+        starts_all = off[:-1]
+        dmax = np.maximum.reduceat(depth, starts_all)[sidx]
+        zmax_s_all = np.maximum.reduceat(z, starts_all)[sidx]
+        umin_s = np.minimum.reduceat(U, starts_all)[sidx]
+        umax_s = np.maximum.reduceat(U, starts_all)[sidx]
+        vmin_s = np.minimum.reduceat(V, starts_all)[sidx]
+        vmax_s = np.maximum.reduceat(V, starts_all)[sidx]
+    else:  # ragged/degenerate offsets: per-surface reductions, as before
+        dmax = np.array([depth[off[s] : off[s + 1]].max() for s in sidx])
+        zmax_s_all = np.array([z[off[s] : off[s + 1]].max() for s in sidx])
+        umin_s = np.array([U[off[s] : off[s + 1]].min() for s in sidx])
+        umax_s = np.array([U[off[s] : off[s + 1]].max() for s in sidx])
+        vmin_s = np.array([V[off[s] : off[s + 1]].min() for s in sidx])
+        vmax_s = np.array([V[off[s] : off[s + 1]].max() for s in sidx])
+    # ascending (dmax, surface-index) painter order — np.lexsort keys are
+    # (secondary, primary), stable, identical to sorted((dmax, s))
+    paint = np.lexsort((sidx, dmax))
 
     # pixel-center coordinate grids (doubled lattice)
     cu_ax = 2 * np.arange(S, dtype=np.int64) + 1
 
-    for _, s in order:
+    for j in paint:
+        s = int(sidx[j])
         a, b = int(off[s]), int(off[s + 1])
         Us, Vs = U[a:b], V[a:b]
-        zmax_s = z[a:b].max()
-        r = 1.0 if zspan <= 0 else (zmax_s - zmin_o) / zspan
+        r = 1.0 if zspan <= 0 else (float(zmax_s_all[j]) - zmin_o) / zspan
         shade = 64 + int(np.floor(191 * r + 0.5))
-        color = np.array(
-            [shade, 255 - shade, (37 * (s + 1)) % 256], dtype=np.uint8
-        )
         # bounding box of candidate pixels
-        px_lo = max(0, int((Us.min() - 1) // 2))
-        px_hi = min(S - 1, int(Us.max() // 2))
-        pv_lo = max(0, int((Vs.min() - 1) // 2))
-        pv_hi = min(S - 1, int(Vs.max() // 2))
+        px_lo = max(0, int((umin_s[j] - 1) // 2))
+        px_hi = min(S - 1, int(umax_s[j] // 2))
+        pv_lo = max(0, int((vmin_s[j] - 1) // 2))
+        pv_hi = min(S - 1, int(vmax_s[j] // 2))
         if px_lo > px_hi or pv_lo > pv_hi:
             continue
-        cu = cu_ax[px_lo : px_hi + 1][None, :, None]  # (1, W, 1)
-        cv = cu_ax[pv_lo : pv_hi + 1][None, None, :]  # (1, 1, H)
-        A_u, A_v = Us[:, None, None], Vs[:, None, None]
-        B_u = np.roll(Us, -1)[:, None, None]
-        B_v = np.roll(Vs, -1)[:, None, None]
-        straddle = (A_v > cv) != (B_v > cv)
-        lhs = (cv - A_v) * (B_u - A_u)
-        rhs = (cu - A_u) * (B_v - A_v)
-        sign = B_v > A_v
-        crossing = straddle & np.where(sign, lhs < rhs, lhs > rhs)
-        inside = crossing.sum(axis=0) % 2 == 1  # (W, H)
+        B_u_full = np.roll(Us, -1)
+        B_v_full = np.roll(Vs, -1)
+        # horizontal edges (A_v == B_v) can never satisfy the straddle
+        # test — drop them up front (identical crossings)
+        ev = Vs != B_v_full
+        Au, Av = Us[ev], Vs[ev]
+        Bu, Bv = B_u_full[ev], B_v_full[ev]
+        if len(Au) == 0:
+            continue
+        W = px_hi - px_lo + 1
+        H = pv_hi - pv_lo + 1
+        cv_ax = cu_ax[pv_lo : pv_hi + 1]  # (H,) odd pixel-center v coords
+        # spec step 6 crossing, solved for the column instead of tested
+        # per pixel: with orient = sign(B_v - A_v) (= ±1 after the
+        # horizontal-edge drop) and Dp = orient*(B_v - A_v) > 0,
+        #   crossing(cu) ⟺ orient*[(cu-A_u)(B_v-A_v) − (cv-A_v)(B_u-A_u)] > 0
+        #               ⟺ cu > A_u + orient*(cv-A_v)(B_u-A_u) / Dp
+        # so per (edge, row) a single exact integer cutoff
+        #   cut = A_u + floordiv(orient*(cv-A_v)(B_u-A_u), Dp) + 1
+        # marks the first crossing column; the even-odd fill is then a
+        # parity cumsum of per-row cutoff counts — O(E·H + H·W) integer
+        # ops instead of the O(E·W·H) per-pixel matrix, bit-identical
+        # (floor division is exact; cu = 2*px+1 ≥ cut ⟺ px ≥ cut//2).
+        straddle = (Av[:, None] > cv_ax[None, :]) != (Bv[:, None] > cv_ax[None, :])
+        if len(Au) * W * H >= 2048:
+            orient = np.where(Bv > Av, 1, -1)
+            Dp = orient * (Bv - Av)
+            num = (orient * (Bu - Au))[:, None] * (cv_ax[None, :] - Av[:, None])
+            cut = Au[:, None] + num // Dp[:, None] + 1
+            pxf = np.clip(cut // 2, px_lo, px_hi + 1) - px_lo
+            er, hr = np.nonzero(straddle)
+            if len(er) == 0:
+                continue
+            delta = np.bincount(
+                hr * (W + 1) + pxf[er, hr], minlength=H * (W + 1)
+            ).reshape(H, W + 1)
+            inside = delta.cumsum(axis=1)[:, :W] % 2 == 1  # (H, W): [pv, px]
+        else:
+            # small surface: the fused per-pixel matrix has less overhead
+            # (same predicate —  orient*(rhs-lhs) > 0  — so bit-identical)
+            cu = cu_ax[px_lo : px_hi + 1][None, :, None]  # (1, W, 1)
+            cv = cv_ax[None, None, :]  # (1, 1, H)
+            A_u3, A_v3 = Au[:, None, None], Av[:, None, None]
+            B_u3, B_v3 = Bu[:, None, None], Bv[:, None, None]
+            diff = (cu - A_u3) * (B_v3 - A_v3) - (cv - A_v3) * (B_u3 - A_u3)
+            diff *= np.where(B_v3 > A_v3, 1, -1)
+            crossing = straddle[:, None, :] & (diff > 0)
+            inside = (crossing.sum(axis=0) % 2 == 1).T  # (H, W): [pv, px]
         if not inside.any():
             continue
-        pxs, pvs = np.nonzero(inside)
-        img[S - 1 - (pvs + pv_lo), pxs + px_lo] = color
+        pvs, pxs = np.nonzero(inside)
+        img[S - 1 - (pvs + pv_lo), pxs + px_lo] = (
+            shade,
+            255 - shade,
+            (37 * (s + 1)) % 256,
+        )
     return img
 
 

@@ -716,17 +716,20 @@ def pq_assign(
         (model["bounds"], [c.tolist() for c in model["codebooks"]])
     )
     id_type = embeddings.schema[id_col].dataType
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", id_type),
-            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
-        ]
-    )
 
     def gen(batches):
         bounds, cbs = bc.value
         cbs = [np.asarray(c) for c in cbs]
+        dim = bounds[-1]
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # malformed (ragged/short) vectors are silently dropped, the
+            # bigindex contract — one bad row must not kill the batch
+            lens = np.fromiter(
+                (len(v) for v in pdf[vec_col]), dtype=np.int64, count=len(pdf)
+            )
+            pdf = pdf[lens == dim]
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -738,9 +741,15 @@ def pq_assign(
                 d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
     return embeddings.filter(F.col(vec_col).isNotNull()).mapInPandas(
         gen, schema
     )
@@ -794,7 +803,7 @@ def pq_topk_adc(
     bc = spark.sparkContext.broadcast((qids, luts))
 
     q_id_type = queries.schema[id_col].dataType
-    b_id_type = codes_df.schema["vec_id"].dataType
+    b_id_type = codes_df.schema[id_col].dataType
     part_schema = T.StructType(
         [
             T.StructField("query_id", q_id_type),
@@ -812,37 +821,46 @@ def pq_topk_adc(
             ids_i = pdf["vec_id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             nb = len(ids_i)
-            # scores (nq x nb): per subspace, gather the LUT column at
-            # each row's code and accumulate
-            scores = np.zeros((nq, nb))
-            for s in range(codes.shape[1]):
-                scores += luts_l[:, s, :][:, codes[:, s]]
             m = min(k, nb)
-            out_q, out_i, out_s = [], [], []
-            id_order = np.argsort(ids_i.astype(str), kind="stable")
+            # tie order: string ids sort as strings, native (numeric) ids
+            # in native order — the SAME key the final rank window's
+            # F.asc("vec_id") sorts by (dense_cosine_topk_bigindex rule;
+            # PQ score ties are common — identical codes, identical ADC)
+            ids_key = ids_i.astype(str) if ids_i.dtype == object else ids_i
+            id_order = np.argsort(ids_key, kind="stable")
             id_rank = np.empty(nb, dtype=np.int64)
             id_rank[id_order] = np.arange(nb)
-            for qi in range(nq):
-                sc = scores[qi]
-                if exclude_self:
-                    self_m = ids_i == qids_l[qi]
-                    if self_m.any():
-                        sc = sc.copy()
-                        sc[self_m] = -np.inf
-                sel = np.lexsort((id_rank, -sc))[:m]
-                if exclude_self:
-                    sel = sel[np.isfinite(sc[sel])]
-                out_q.extend([qids_l[qi]] * len(sel))
-                out_i.extend(ids_i[sel])
-                out_s.extend(sc[sel])
+            out_q, out_i, out_s = [], [], []
+            # chunk queries like dense_cosine_topk_bigindex: an unchunked
+            # (|Q| x batch) float64 score matrix at the 200k query cap is
+            # ~16 GB per task
+            qchunk = max(1, 4_000_000 // max(nb, 1))
+            for q0 in range(0, nq, qchunk):
+                q1 = min(q0 + qchunk, nq)
+                scores = np.zeros((q1 - q0, nb))
+                for s in range(codes.shape[1]):
+                    scores += luts_l[q0:q1, s, :][:, codes[:, s]]
+                for qi in range(q0, q1):
+                    sc = scores[qi - q0]
+                    if exclude_self:
+                        self_m = ids_i == qids_l[qi]
+                        if self_m.any():
+                            sc = sc.copy()
+                            sc[self_m] = -np.inf
+                    sel = np.lexsort((id_rank, -sc))[:m]
+                    if exclude_self:
+                        sel = sel[np.isfinite(sc[sel])]
+                    out_q.extend([qids_l[qi]] * len(sel))
+                    out_i.extend(ids_i[sel])
+                    out_s.extend(sc[sel])
             if out_q:
                 yield pd.DataFrame(
                     {"query_id": out_q, "vec_id": out_i, "score": out_s}
                 )
 
-    partial = codes_df.select("vec_id", "codes").mapInPandas(
-        gen, part_schema
-    )
+    partial = codes_df.select(
+        F.col(id_col).alias("vec_id"), "codes"
+    ).mapInPandas(gen, part_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
@@ -889,7 +907,11 @@ def pq_topk_rerank(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("bv"),
     )
-    cos = _dot("qv", "bv") / (_norm("qv") * _norm("bv"))
+    # zero-norm guard: a degenerate vector must score 0.0, not NaN —
+    # Spark's ORDER BY DESC places NaN first, which would outrank every
+    # real match (the documented zero-norm semantics of the dense kernels)
+    nprod = _norm("qv") * _norm("bv")
+    cos = F.when(nprod == 0.0, F.lit(0.0)).otherwise(_dot("qv", "bv") / nprod)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )

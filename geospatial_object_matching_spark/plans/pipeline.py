@@ -59,8 +59,6 @@ def run_pipeline(
     from ..operators.properties import pages_to_properties
     from ..operators.scaler import robust_scaler_fit
 
-    from ..config import OBJECT_PROPERTIES
-
     # fused parse+featurize: one Arrow pass, coords never serialized out
     properties = stage(
         "properties", lambda: pages_to_properties(pages, zoom=zoom, log1p=True)
@@ -72,10 +70,12 @@ def run_pipeline(
     # serialized driver-synchronized actions are the dominant non-scaling
     # term once the kernels are fast (BENCH.md Amdahl note), so every
     # mutually independent job chain runs from a driver thread:
-    #   phase A — feature order (ratio-stats agg) ∥ scaler fit over ALL 25
-    #   properties (order-independent; the top-dim slice is taken after
-    #   the order resolves — per-feature stats are independent) ∥ side
-    #   counts (needs only properties);
+    #   phase A — feature order (ratio-stats agg) ∥ side counts (needs
+    #   only properties); the scaler fit runs AFTER the order resolves,
+    #   on exactly the selected bkafi_dim features — fitting all 25
+    #   up-front for overlap cost 12.7 s of exact-percentile work at sf1
+    #   vs ~2 s for the 3 needed columns (round-6 measurement), and the
+    #   extra parallel work competed with the featurize stage for cores;
     #   phase B — kNN ∥ matched-pair threshold percentiles.
     from concurrent.futures import ThreadPoolExecutor
 
@@ -110,19 +110,18 @@ def run_pipeline(
                 flush=True,
             )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         f_order = pool.submit(bkafi_feature_order, properties, "std")
-        f_fit = pool.submit(
-            robust_scaler_fit,
-            properties.filter(F.col("source") == "cands"),
-            list(OBJECT_PROPERTIES),
-        )
         f_cnt = pool.submit(job_counts)
         order = f_order.result()
-        stats_all = f_fit.result()
-    _phase("A done (order+fit)")
     feats = order[:bkafi_dim]
-    scaler_stats = {f: stats_all[f] for f in feats}
+    # per-feature stats are independent, so fitting exactly the selected
+    # columns yields the identical (center, scale) values the 25-column
+    # fit produced for them
+    scaler_stats = robust_scaler_fit(
+        properties.filter(F.col("source") == "cands"), feats
+    )
+    _phase("A done (order+fit)")
 
     cands_v, index_v = bkafi_vectors(properties, feats, stats=scaler_stats)
     cands_v, index_v = cands_v.persist(), index_v.persist()
